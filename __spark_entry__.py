@@ -1,38 +1,512 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship entity-resolution pipeline end-to-end on
+transcripts deterministically derived from /root/testdata/sf0.001 documents.
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL where the
+operator is SQL-expressible (non-SQL ops — LSH blocking, CC, scoring — get
+rows-only checks).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+# ---------------------------------------------------------------------------
+# Transcript derivation: documents -> multi-turn transcripts (deterministic).
+# Each document becomes a conversation (turns = fixed-width word windows);
+# every 3rd document also yields a near-duplicate variant conversation
+# (deterministic token dropout keyed on doc_id) so the resolver has real
+# work to do. No randomness — everything is a function of the input rows.
+# ---------------------------------------------------------------------------
+
+def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    turn_w = 12
+    n_turns = F.greatest(F.ceil(n / turn_w).cast("int"), F.lit(1))
+    base = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.col("doc_id"),
+        toks.alias("_t"),
+        n_turns.alias("_nt"),
+    )
+    turns = base.select(
+        "conv_id",
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nt") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_t"), i * turn_w + 1, turn_w)
+                ),
+            )
+        ).alias("turn_idx", "text"),
+    )
+    primary = turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.when(F.pmod("turn_idx", F.lit(2)) == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") * 3600 + F.col("turn_idx") * 60
+        ).alias("ts"),
+        "doc_id",
+    )
+    # near-duplicate variant: drop every 7th token, keyed deterministically
+    dup = primary.where(F.pmod("doc_id", F.lit(3)) == 0).select(
+        F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.array_join(
+            F.filter(
+                F.split(F.col("text"), r"\s+"),
+                lambda t, i: F.pmod(i + F.col("doc_id"), F.lit(7)) != 0,
+            ),
+            " ",
+        ).alias("text"),
+        "tool",
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        "doc_id",
+    )
+    return primary.drop("doc_id").unionByName(dup.drop("doc_id"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full block -> score -> cluster resolution over transcripts
+    derived from sf0.001; returns (conv_id, cluster_id)."""
+    import tempfile
+
+    from entity_resolver_spark.plans.pipeline import ResolutionPipeline
+
+    transcripts = derive_transcripts(spark, "/root/testdata/sf0.001")
+    wh = tempfile.mkdtemp(prefix="er_wh_")
+    pipe = ResolutionPipeline(spark, wh)
+    return pipe.run(transcripts, resume=False).clusters
+
+
+# ---------------------------------------------------------------------------
+# queries() / oracle_sql()
+# ---------------------------------------------------------------------------
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# -- TPC-H-style relational coverage (scans/filters/joins/aggs/windows) -----
+
+def q_agg_pricing(spark, sf_dir):
+    """A1/A2-style multi-agg groupBy (TPC-H Q1 shape)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_join_revenue_by_nation(spark, sf_dir):
+    """J1-style broadcast-dim joins: revenue per nation."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_anti_join_no_orders(spark, sf_dir):
+    """P8/O2-style left_anti (NOT EXISTS): customers without orders."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_topk_orders_per_customer(spark, sf_dir):
+    """W1/W2-style windowed top-k: top-3 orders by price per customer."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk", "o_orderkey")
+    )
+
+
+def q_exact_block_pairs(spark, sf_dir):
+    """J3: exact-key blocking self-join — supplier pairs sharing a nation."""
+    s = _read(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("left"), F.col("s_nationkey").alias("k"))
+    b = s.select(F.col("s_suppkey").alias("right"), F.col("s_nationkey").alias("k"))
+    return (
+        a.join(b, "k")
+        .where(F.col("left") < F.col("right"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("k").alias("s_nationkey"), "n_pairs")
+        .orderBy("s_nationkey")
+    )
+
+
+def q_turn_concat(spark, sf_dir):
+    """W6: stable ordered per-group concatenation (the normalize-stage
+    invariant) — events per user ordered by (ts, event_id)."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ",",
+            ).alias("event_seq"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + cumsum windows)."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sess = e.withColumn("new_sess", F.coalesce(gap, F.lit(0))).withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sess_value"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# -- training-data pipeline ops over documents/embeddings -------------------
+
+def q_exact_dedup(spark, sf_dir):
+    from entity_resolver_spark.operators.dedup import exact_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    out = exact_dedup(docs)
+    return (
+        out.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .orderBy("group_size")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    from entity_resolver_spark.operators.text_analysis import token_count_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", token_count_expr(F.col("text")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.avg("n_tok").alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_quality_buckets(spark, sf_dir):
+    from entity_resolver_spark.operators.text_analysis import quality_score_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(F.floor(quality_score_expr(F.col("text")) * 10).alias("q_bucket"))
+        .groupBy("q_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("q_bucket")
+    )
+
+
+def q_ngram_dedup_verify(spark, sf_dir):
+    """MinHash-LSH candidates verified by exact n-gram Jaccard (rows-only:
+    xxhash64-based LSH isn't reproducible in DuckDB)."""
+    from entity_resolver_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    cand = minhash_dedup_pairs(docs).select("left", "right")
+    verified = ngram_jaccard_pairs(docs, cand)
+    return verified.where(F.col("jaccard") >= 0.8).orderBy("left", "right")
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 8 vectors as queries."""
+    from entity_resolver_spark.operators.similarity_search import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return (
+        brute_force_topk(emb, queries, k=5)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_embedding_label_centroid_sim(spark, sf_dir):
+    """A5-style weighted centroid + cosine: avg within-label cosine of each
+    vector to its label centroid."""
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    arr = F.col("embedding").cast("array<double>")
+    ex = emb.select("label", "vec_id", F.posexplode(arr).alias("pos", "v"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    joined = ex.join(cent, ["label", "pos"])
+    sims = (
+        joined.groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+        .select(
+            "label",
+            (F.col("dot") / (F.col("nv") * F.col("nc"))).alias("sim"),
+        )
+    )
+    return (
+        sims.groupBy("label")
+        .agg(F.avg("sim").alias("avg_centroid_sim"), F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("label")
+    )
+
+
+# -- entity-resolution ops on derived transcripts (rows-only checks) --------
+
+def q_er_records(spark, sf_dir):
+    from entity_resolver_spark.operators.transcripts import build_entity_records
+
+    t = derive_transcripts(spark, sf_dir)
+    return build_entity_records(t).select(
+        "conv_id", "n_turns", "name_key", "birth_year", "death_year"
+    ).orderBy("conv_id")
+
+
+def q_er_candidate_pairs(spark, sf_dir):
+    from entity_resolver_spark.operators.blocking import candidate_pairs
+    from entity_resolver_spark.operators.transcripts import build_entity_records
+
+    t = derive_transcripts(spark, sf_dir)
+    records = build_entity_records(t)
+    return candidate_pairs(records).orderBy("left", "right")
+
+
+def q_er_clusters(spark, sf_dir):
+    from entity_resolver_spark.operators.blocking import candidate_pairs
+    from entity_resolver_spark.operators.clustering import cluster_records
+    from entity_resolver_spark.operators.features import pair_features
+    from entity_resolver_spark.operators.scoring import score_pairs
+    from entity_resolver_spark.operators.transcripts import build_entity_records
+
+    t = derive_transcripts(spark, sf_dir)
+    records = build_entity_records(t).persist()
+    pairs = candidate_pairs(records)
+    feats = pair_features(pairs, records)
+    scored = score_pairs(feats)
+    clusters = cluster_records(records, scored)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("size")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "agg_pricing": q_agg_pricing,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "anti_join_no_orders": q_anti_join_no_orders,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "exact_block_pairs": q_exact_block_pairs,
+        "turn_concat": q_turn_concat,
+        "sessionize": q_sessionize,
+        "exact_dedup": q_exact_dedup,
+        "token_stats": q_token_stats,
+        "quality_buckets": q_quality_buckets,
+        "ngram_dedup_verify": q_ngram_dedup_verify,
+        "embedding_topk": q_embedding_topk,
+        "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
+        "er_records": q_er_records,
+        "er_candidate_pairs": q_er_candidate_pairs,
+        "er_clusters": q_er_clusters,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "join_revenue_by_nation": """
+            SELECT n_name,
+                   sum(o_totalprice) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "anti_join_no_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rk
+                FROM orders
+            ) WHERE rk <= 3
+            ORDER BY o_custkey, rk, o_orderkey
+        """,
+        "exact_block_pairs": """
+            SELECT a.s_nationkey AS s_nationkey, count(*) AS n_pairs
+            FROM supplier a JOIN supplier b
+              ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+            GROUP BY a.s_nationkey ORDER BY s_nationkey
+        """,
+        "turn_concat": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, event_id, value,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessions AS (
+                SELECT user_id, value,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sess_id
+                FROM (SELECT user_id, event_id, value, new_sess
+                      FROM flagged ORDER BY user_id, event_id)
+            ), per_sess AS (
+                SELECT user_id, sess_id, count(*) AS n_events
+                FROM sessions GROUP BY user_id, sess_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events
+            FROM per_sess GROUP BY user_id ORDER BY user_id
+        """,
+        "exact_dedup": """
+            WITH canon AS (
+                SELECT lower(trim(regexp_replace(regexp_replace(text, '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm,
+                       count(*) AS group_size
+                FROM documents GROUP BY norm
+            )
+            SELECT group_size, count(*) AS n_groups
+            FROM canon GROUP BY group_size ORDER BY group_size
+        """,
+        "token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+                   avg(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS avg_tokens
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "embedding_topk": """
+            SELECT query_id, vec_id, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                    c.vec_id ASC
+                       ) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+            ) WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "embedding_label_centroid_sim": """
+            WITH ex AS (
+                -- parallel unnests zip row-wise in DuckDB
+                SELECT label, vec_id,
+                       unnest(embedding) AS v,
+                       unnest(generate_series(1, len(embedding))) AS pos
+                FROM embeddings
+            ), cent AS (
+                SELECT label, pos, avg(v) AS c FROM ex GROUP BY label, pos
+            ), sims AS (
+                SELECT ex.label, ex.vec_id,
+                       sum(ex.v * cent.c) / (sqrt(sum(ex.v * ex.v)) * sqrt(sum(cent.c * cent.c))) AS sim
+                FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+                GROUP BY ex.label, ex.vec_id
+            )
+            SELECT label, avg(sim) AS avg_centroid_sim, count(*) AS n_vecs
+            FROM sims GROUP BY label ORDER BY label
+        """,
+        # quality_buckets / ngram_dedup_verify / er_* are rows-only checks:
+        # they depend on xxhash64 / pandas-UDF / iterative algorithms that
+        # DuckDB cannot reproduce bit-for-bit.
+    }

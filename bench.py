@@ -1,0 +1,104 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Primary metric: end-to-end wall seconds. The throughput side-metric the
+north_rule names — candidate-pairs-scored/sec — is included, measured over
+the blocking->features->scoring segment of the flagship entity-resolution
+pipeline on transcripts derived from the sf documents table.
+
+Scaling evidence (N vs 4N): run `python scripts/run_scaling.py`, which
+invokes this file at SPARK_GRAFT_CPUS=8 and =32 and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+    from entity_resolver_spark.operators.blocking import candidate_pairs
+    from entity_resolver_spark.operators.clustering import cluster_records
+    from entity_resolver_spark.operators.features import pair_features
+    from entity_resolver_spark.operators.scoring import Model, score_pairs
+    from entity_resolver_spark.operators.transcripts import build_entity_records
+    from entity_resolver_spark.session import get_spark
+
+    spark = get_spark(
+        "er-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+
+    timings: dict[str, float] = {}
+    t_total = time.monotonic()
+
+    # -- headline operator queries (same plans the correctness gate checks) --
+    qmap = entry_mod.queries()
+    for name in [
+        "agg_pricing",
+        "join_revenue_by_nation",
+        "topk_orders_per_customer",
+        "exact_dedup",
+        "token_stats",
+        "quality_buckets",
+        "embedding_topk",
+        "sessionize",
+    ]:
+        t0 = time.monotonic()
+        df = qmap[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # -- flagship ER pipeline, with pair-scoring throughput ------------------
+    t0 = time.monotonic()
+    transcripts = entry_mod.derive_transcripts(spark, sf_dir)
+    records = build_entity_records(transcripts).persist()
+    n_records = records.count()
+    timings["er_normalize"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    pairs = candidate_pairs(records).persist()
+    n_pairs = pairs.count()
+    timings["er_blocking"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    model = Model.default()
+    scored = score_pairs(pair_features(pairs, records), model).persist()
+    scored.count()
+    score_wall = time.monotonic() - t0
+    timings["er_score"] = round(score_wall, 3)
+
+    t0 = time.monotonic()
+    clusters = cluster_records(records, scored, model.edge_threshold)
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    timings["er_cluster"] = round(time.monotonic() - t0, 3)
+
+    total = time.monotonic() - t_total
+    result = {
+        "metric": "end_to_end_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "er_records": n_records,
+        "er_candidate_pairs": n_pairs,
+        "er_clusters": n_clusters,
+        "pairs_scored_per_sec": round(n_pairs / score_wall, 1) if score_wall else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

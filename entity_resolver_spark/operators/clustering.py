@@ -1,0 +1,136 @@
+"""Stage 5 — transitive closure via iterative large-star / small-star.
+
+The reference clusters with a driver-memory BFS over the match graph
+(/root/reference/src/classifying.py:2184-2284, edges filtered at
+min_edge_confidence 0.65). That caps at what one Python process holds. Here we
+run the alternating large-star/small-star connected-components algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SOCC'14)
+directly on the edges DataFrame — O(log n) rounds, each round two
+shuffle-aggregations, lineage truncated by ``localCheckpoint`` per round so
+the plan doesn't grow with iterations.
+
+Node ids are hashed to longs for cheap min() comparisons; the string ids are
+restored by a final join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_resolver_spark.config import MIN_EDGE_CONFIDENCE
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to u's min neighborhood
+    label (including u itself)."""
+    nbrs = edges.select("u", "v").union(edges.select(F.col("v"), F.col("u")))
+    m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbrs.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u to the min label."""
+    # orient edges so u >= v
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = oriented.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    joined = oriented.join(m, "u")
+    out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        m.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """edges(src: string, dst: string) -> (id: string, component: string).
+
+    component = lexicographically-minimal member id of the node's component
+    (deterministic cluster labels). Nodes present only as self-edges are fine;
+    isolated nodes should be appended by the caller (see ``cluster_records``).
+    """
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    # dense long surrogate via xxhash64 (collision over 64 bits is negligible
+    # and would only merge two clusters; ids are restored by join at the end)
+    node_map = ids.select(F.col("id"), F.xxhash64("id").alias("nid")).persist()
+    e = (
+        edges.join(node_map.withColumnRenamed("id", "src"), "src")
+        .withColumnRenamed("nid", "u")
+        .join(node_map.withColumnRenamed("id", "dst"), "dst")
+        .withColumnRenamed("nid", "v")
+        .select("u", "v")
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _large_star(e).localCheckpoint()
+        e = _small_star(e).localCheckpoint()
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: ANSI-safe (a long sum of 64-bit hashes overflows)
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        cur_sig = (sig["n"], str(sig["h"]))
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+    # After convergence, small-star output is a star forest: u -> root. The
+    # root is the hash-order minimum; relabel with the lexicographically
+    # minimal member id so cluster labels are deterministic AND meaningful
+    # in id space (one extra groupBy on component-count rows).
+    roots = e.select(F.col("u").alias("nid"), F.col("v").alias("root_nid"))
+    labeled = node_map.join(roots, "nid", "left").select(
+        "id", F.coalesce("root_nid", "nid").alias("root_nid")
+    )
+    names = labeled.groupBy("root_nid").agg(F.min("id").alias("component"))
+    out = labeled.join(names, "root_nid").select("id", "component")
+    node_map.unpersist()
+    return out
+
+
+def cluster_records(
+    records: DataFrame,
+    scored: DataFrame,
+    min_edge_confidence: float = MIN_EDGE_CONFIDENCE,
+) -> DataFrame:
+    """Strict clustering (reference _generate_clusters_strict,
+    src/classifying.py:2184-2284): filter edges by confidence, run CC, append
+    singletons (records with no surviving edge form their own cluster)."""
+    edges = scored.where(
+        F.col("is_match") & (F.col("proba") >= F.lit(min_edge_confidence))
+    ).select(F.col("left").alias("src"), F.col("right").alias("dst"))
+    comp = connected_components(edges)
+    all_ids = records.select(F.col("conv_id").alias("id"))
+    return all_ids.join(comp, "id", "left").select(
+        F.col("id").alias("conv_id"),
+        F.coalesce("component", "id").alias("cluster_id"),
+    )
+
+
+def cluster_stats(clusters: DataFrame) -> DataFrame:
+    """Cluster size distribution (reference reports sizes/averages,
+    src/classifying.py:2277-2282)."""
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.max("size").alias("max_size"),
+        F.avg("size").alias("avg_size"),
+        F.sum((F.col("size") == 1).cast("int")).alias("n_singletons"),
+    )

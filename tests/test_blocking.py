@@ -1,0 +1,83 @@
+"""Blocking: recall of labeled true pairs, canonicalization, skew guard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entity_resolver_spark.config import EngineConfig
+from entity_resolver_spark.operators.blocking import (
+    all_blocks,
+    blocking_recall,
+    candidate_pairs,
+    pairs_from_blocks,
+    split_hot_blocks,
+)
+
+
+def test_blocking_recall_is_total(spark, records, labeled):
+    """Every labeled true pair must share >=1 blocking key (the north_rule
+    judges F1 'at identical blocking keys' — blocking must not lose pairs)."""
+    pairs = candidate_pairs(records)
+    assert blocking_recall(pairs, labeled) == 1.0
+
+
+def test_pairs_are_canonical_and_deduped(spark, records):
+    pairs = candidate_pairs(records)
+    assert pairs.where(F.col("left") >= F.col("right")).count() == 0
+    assert pairs.count() == pairs.dropDuplicates(["left", "right"]).count()
+
+
+def test_blocking_reduces_comparisons(spark, records):
+    n = records.count()
+    pairs = candidate_pairs(records).count()
+    assert pairs < n * (n - 1) / 2 * 0.5, "blocking should prune >=50% of pairs"
+
+
+def test_hot_block_split_bounds_block_size(spark):
+    cfg = EngineConfig(max_block_size=10)
+    blocks = spark.createDataFrame(
+        [(f"id{i}", "hot") for i in range(100)] + [(f"id{i}", "cold") for i in range(5)],
+        ["conv_id", "block_key"],
+    )
+    salted = split_hot_blocks(blocks, cfg)
+    sizes = salted.groupBy("block_key").count().collect()
+    assert max(r["count"] for r in sizes) <= 2 * cfg.max_block_size
+    assert salted.count() == 105  # no rows lost
+    # cold block untouched
+    assert salted.where(F.col("block_key") == "cold").count() == 5
+
+
+def test_pairs_from_blocks_within_block_only(spark):
+    blocks = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k2"), ("d", "k2"), ("e", "k3")],
+        ["conv_id", "block_key"],
+    )
+    got = {
+        (r["left"], r["right"])
+        for r in pairs_from_blocks(blocks).collect()
+    }
+    assert got == {("a", "b"), ("c", "d")}
+
+
+def test_golden_pair_blocks_together(spark):
+    """FIXTURES.md §5: 'Schubert, Franz' vs 'Schubert, Franz, 1797-1828' must
+    share a block despite different raw names (the reference's inline
+    regression case, src/classifying.py:979-982)."""
+    from entity_resolver_spark.operators.transcripts import build_entity_records
+
+    rows = [
+        ("g1", 0, "user", "Schubert, Franz. symphony vienna lieder composition", None, None),
+        ("g1", 1, "assistant", "symphony vienna lieder piano quartet", None, None),
+        ("g2", 0, "user", "Schubert, Franz, 1797-1828. symphony vienna lieder composition", None, None),
+        ("g2", 1, "assistant", "symphony vienna lieder piano quartet", None, None),
+        ("g3", 0, "user", "Schubert, Franz. excavation pottery bronze stratigraphy", None, None),
+        ("g3", 1, "assistant", "excavation pottery dig site artifact", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    recs = build_entity_records(df)
+    pairs = {
+        (r["left"], r["right"]) for r in candidate_pairs(recs).collect()
+    }
+    assert ("g1", "g2") in pairs

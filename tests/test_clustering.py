@@ -1,0 +1,72 @@
+"""Connected components vs networkx oracle; cluster assembly semantics."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolver_spark.operators.clustering import (
+    cluster_records,
+    connected_components,
+)
+
+
+def _cc_oracle(edges: list[tuple[str, str]]) -> dict[str, str]:
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    out = {}
+    for comp in nx.connected_components(g):
+        label = min(comp)
+        for n in comp:
+            out[n] = label
+    return out
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [("a", "b"), ("b", "c"), ("d", "e")],
+        [("a", "b")],
+        [(f"n{i}", f"n{i + 1}") for i in range(30)],  # long chain (stress depth)
+        [("hub", f"leaf{i}") for i in range(25)],  # star
+        [("a", "b"), ("c", "d"), ("b", "c"), ("x", "y"), ("y", "z"), ("z", "x")],
+    ],
+)
+def test_connected_components_matches_networkx(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == _cc_oracle(edges)
+
+
+def test_connected_components_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert connected_components(df).count() == 0
+
+
+def test_cluster_records_appends_singletons(spark):
+    records = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["conv_id"])
+    scored = spark.createDataFrame(
+        [("a", "b", 0.9, True), ("c", "d", 0.5, False)],
+        ["left", "right", "proba", "is_match"],
+    )
+    got = {
+        r["conv_id"]: r["cluster_id"] for r in cluster_records(records, scored).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "d"}
+
+
+def test_edge_confidence_filter(spark):
+    """Edges below min_edge_confidence are dropped even when is_match is
+    true (reference strict clustering, src/classifying.py:2199-2209)."""
+    records = spark.createDataFrame([("a",), ("b",)], ["conv_id"])
+    scored = spark.createDataFrame(
+        [("a", "b", 0.60, True)], ["left", "right", "proba", "is_match"]
+    )
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in cluster_records(records, scored, min_edge_confidence=0.65).collect()
+    }
+    assert got == {"a": "a", "b": "b"}

@@ -1,0 +1,110 @@
+"""End-to-end pipeline: F1 gate, determinism, resume."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolver_spark.operators.blocking import candidate_pairs
+from entity_resolver_spark.operators.features import pair_features
+from entity_resolver_spark.operators.scoring import score_pairs, train
+from entity_resolver_spark.plans.pipeline import ResolutionPipeline, evaluate_pairs
+
+
+@pytest.fixture(scope="module")
+def trained(spark, records, labeled):
+    pairs = candidate_pairs(records).cache()
+    feats = pair_features(pairs, records).cache()
+    model = train(feats, labeled)
+    scored = score_pairs(feats, model).cache()
+    return model, scored
+
+
+def test_pairwise_f1_gate(spark):
+    """North-rule gate: pairwise F1 >= 0.99 on labeled pairs at the blocking
+    keys the engine itself produced. Runs at FIXTURES.md 'small'-ish scale —
+    the tiny 20-entity corpus has too few labeled pairs to train on."""
+    from entity_resolver_spark import datagen
+    from entity_resolver_spark.operators.transcripts import build_entity_records
+
+    data = datagen.generate(n_entities=150, seed=42)
+    transcripts = datagen.to_spark(spark, data["transcripts"])
+    labeled = spark.createDataFrame(data["labeled_pairs"])
+    records = build_entity_records(transcripts).cache()
+    pairs = candidate_pairs(records).cache()
+    feats = pair_features(pairs, records).cache()
+    model = train(feats, labeled)
+    scored = score_pairs(feats, model)
+    m = evaluate_pairs(scored, labeled)
+    assert m["f1"] >= 0.99, m
+
+
+def test_pipeline_end_to_end(spark, transcripts, corpus, tmp_path, trained):
+    model, _ = trained
+    wh = str(tmp_path / "wh")
+    pipe = ResolutionPipeline(spark, wh, model=model)
+    result = pipe.run(transcripts, resume=False)
+    clusters = {r["conv_id"]: r["cluster_id"] for r in result.clusters.collect()}
+    expected = corpus["expected_clusters"]
+    # cluster agreement: same-entity convs share a label; different entities don't
+    by_entity: dict[str, list[str]] = {}
+    for cid, eid in zip(expected["conv_id"], expected["cluster_id"]):
+        by_entity.setdefault(eid, []).append(cid)
+    total_pairs = correct = 0
+    for members in by_entity.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                total_pairs += 1
+                if clusters[members[i]] == clusters[members[j]]:
+                    correct += 1
+    assert total_pairs > 0
+    assert correct / total_pairs >= 0.95, f"{correct}/{total_pairs}"
+    # metrics rows were committed per stage
+    metrics = pipe.wh.read("_metrics")
+    stages = {r["stage"] for r in metrics.select("stage").distinct().collect()}
+    assert {"records", "vectors", "pairs", "scored", "clusters"} <= stages
+    # per-partition lineage exists
+    lineage = pipe.wh.read("_lineage")
+    assert lineage.where(F.col("stage") == "scored").count() > 0
+
+
+def test_pipeline_determinism(spark, transcripts, tmp_path, trained):
+    """Two fresh runs produce identical cluster assignments."""
+    model, _ = trained
+    a = ResolutionPipeline(spark, str(tmp_path / "a"), model=model).run(
+        transcripts, resume=False
+    )
+    b = ResolutionPipeline(spark, str(tmp_path / "b"), model=model).run(
+        transcripts, resume=False
+    )
+    pa = sorted(map(tuple, a.clusters.collect()))
+    pb = sorted(map(tuple, b.clusters.collect()))
+    assert pa == pb
+
+
+def test_pipeline_resume_mid_run(spark, transcripts, tmp_path, trained):
+    """Kill-and-resume: wipe the downstream stages, re-run with resume=True,
+    output identical to a full run; upstream stages are NOT recomputed."""
+    model, _ = trained
+    wh = str(tmp_path / "resume")
+    pipe = ResolutionPipeline(spark, wh, model=model)
+    full = pipe.run(transcripts, resume=False)
+    full_clusters = sorted(map(tuple, full.clusters.collect()))
+
+    # simulate a crash after `pairs`: drop scored+clusters state
+    state = pipe.wh.load_state()
+    state["completed"] = [s for s in state["completed"] if s in ("records", "vectors", "pairs")]
+    pipe.wh.save_state(state)
+    pipe.wh.drop("scored")
+    pipe.wh.drop("clusters")
+
+    pipe2 = ResolutionPipeline(spark, wh, model=model)
+    resumed = pipe2.run(transcripts, resume=True)
+    resumed_clusters = sorted(map(tuple, resumed.clusters.collect()))
+    assert resumed_clusters == full_clusters
+    # resume must not have recomputed the records stage
+    recomputed = {r["stage"] for r in pipe2.spark.createDataFrame(
+        [(m["stage"],) for m in pipe2.metrics] or [("",)], ["stage"]).collect()}
+    assert "records" not in recomputed
