@@ -223,6 +223,31 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_rollup_order_stats(spark, sf_dir):
+    """Rollup aggregation (hierarchical totals) over orders."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def q_scaler_bounds(spark, sf_dir):
+    """M5 RobustMinMaxScaler fit: exact percentile clip bounds per column
+    (matches DuckDB quantile_cont bit-for-bit — Spark `percentile` is exact)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.0)).alias("price_lo"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.95)).alias("price_hi"),
+        F.percentile(F.col("l_quantity"), F.lit(0.0)).alias("qty_lo"),
+        F.percentile(F.col("l_quantity"), F.lit(0.95)).alias("qty_hi"),
+    )
+
+
 # -- training-data pipeline ops over documents/embeddings -------------------
 
 def q_exact_dedup(spark, sf_dir):
@@ -371,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_no_orders": q_anti_join_no_orders,
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "exact_block_pairs": q_exact_block_pairs,
+        "rollup_order_stats": q_rollup_order_stats,
+        "scaler_bounds": q_scaler_bounds,
         "turn_concat": q_turn_concat,
         "sessionize": q_sessionize,
         "exact_dedup": q_exact_dedup,
@@ -430,6 +457,20 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier a JOIN supplier b
               ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
             GROUP BY a.s_nationkey ORDER BY s_nationkey
+        """,
+        "rollup_order_stats": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n, sum(o_totalprice) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "scaler_bounds": """
+            SELECT quantile_cont(l_extendedprice, 0.0) AS price_lo,
+                   quantile_cont(l_extendedprice, 0.95) AS price_hi,
+                   quantile_cont(l_quantity, 0.0) AS qty_lo,
+                   quantile_cont(l_quantity, 0.95) AS qty_hi
+            FROM lineitem
         """,
         "turn_concat": """
             SELECT user_id,

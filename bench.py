@@ -61,8 +61,22 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
 
     # -- flagship ER pipeline, with pair-scoring throughput ------------------
+    # The ER corpus is sized independently of the TPC-H sf tables: the
+    # sf-derived transcripts top out at ~6.7k conversations, far too little
+    # work to measure parallel scaling (fixed costs dominate). The synthetic
+    # labeled corpus (FIXTURES.md 'bench' scale) supplies real pair volume;
+    # SPARK_GRAFT_BENCH_ENTITIES overrides.
+    from entity_resolver_spark import datagen
+
+    n_entities = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "4000"))
+    data = datagen.generate(
+        n_entities=n_entities, convs_per_entity=(2, 5), turns_per_conv=(3, 12)
+    )
+    transcripts = datagen.to_spark(spark, data["transcripts"]).repartition(
+        max(cpus, 8)
+    )
+
     t0 = time.monotonic()
-    transcripts = entry_mod.derive_transcripts(spark, sf_dir)
     records = build_entity_records(transcripts).persist()
     n_records = records.count()
     timings["er_normalize"] = round(time.monotonic() - t0, 3)
@@ -72,12 +86,46 @@ def main() -> None:
     n_pairs = pairs.count()
     timings["er_blocking"] = round(time.monotonic() - t0, 3)
 
+    # vectors are their own stage in the pipeline (warehouse table); build
+    # them once here too so scoring passes don't re-derive them
+    from entity_resolver_spark.config import EngineConfig
+    from entity_resolver_spark.operators.features import text_vectors
+
     t0 = time.monotonic()
+    vectors = text_vectors(records, EngineConfig()).persist()
+    vectors.count()
+    timings["er_vectors"] = round(time.monotonic() - t0, 3)
+
     model = Model.default()
-    scored = score_pairs(pair_features(pairs, records), model).persist()
-    scored.count()
-    score_wall = time.monotonic() - t0
+    # joined pair inputs materialize once (a pipeline stage); the measured
+    # scoring segment is the pure map over them — features + classifier
+    from entity_resolver_spark.operators.features import (
+        features_from_inputs,
+        pair_inputs,
+    )
+
+    t0 = time.monotonic()
+    inputs = pair_inputs(pairs, records, vectors=vectors).persist()
+    inputs.count()
+    timings["er_pair_inputs"] = round(time.monotonic() - t0, 3)
+
+    scored_plan = score_pairs(features_from_inputs(inputs), model)
+    # First pass pays whole-stage codegen compilation, Python worker spin-up,
+    # AQE statistics; steady-state = median of three subsequent passes — the
+    # figure comparable across parallelism levels (and to the reference's
+    # ">20 records/sec steady", OPTIMIZATION_GUIDE.md:161).
+    t0 = time.monotonic()
+    scored_plan.write.format("noop").mode("overwrite").save()
+    timings["er_score_cold"] = round(time.monotonic() - t0, 3)
+    walls = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        scored_plan.write.format("noop").mode("overwrite").save()
+        walls.append(time.monotonic() - t0)
+    score_wall = sorted(walls)[1]
     timings["er_score"] = round(score_wall, 3)
+    scored = scored_plan.persist()
+    scored.count()
 
     t0 = time.monotonic()
     clusters = cluster_records(records, scored, model.edge_threshold)

@@ -23,11 +23,13 @@ TF_DIM = 512
 MINHASH_HASHES = 16
 MINHASH_BANDS = 8  # rows_per_band = 2 -> catches moderate Jaccard overlap
 
-# Name-gram LSH is stronger (more bands): the name key is the primary
-# blocking signal and char-3-gram Jaccard of true variants sits near ~0.5,
-# where 8 bands would miss ~10% of pairs (12 bands: ~3%).
+# Name-gram LSH: 8 bands x 3 rows. Targets typo-level char-3-gram Jaccard
+# (s>=0.6 -> p>=0.86, s>=0.7 -> 0.96); lower-similarity name pairs (initials,
+# double errors) are covered by the SNM/initials/soundex passes. 2-row bands
+# measured catastrophically permissive at corpus scale: every same-surname
+# pair collides (s~0.45 -> p~0.93), emitting ~100x the candidate volume.
 NAME_LSH_HASHES = 24
-NAME_LSH_BANDS = 12
+NAME_LSH_BANDS = 8
 
 # Word-shingle width for MinHash (3-grams over normalized tokens).
 SHINGLE_K = 3
@@ -38,8 +40,12 @@ SNM_WINDOW = 8
 SNM_PREFIX_LEN = 2
 
 # Skew guard: blocks larger than this are split deterministically; the split
-# (and the pairs it forgoes) is recorded in stage metrics.
-MAX_BLOCK_SIZE = 1000
+# (and the pairs it forgoes) is recorded in stage metrics. A block of size B
+# emits B^2/2 pairs, so the cap bounds per-block pair fan-out quadratically
+# (64 -> <=2016 pairs). Genuine same-entity groups are far smaller than 64;
+# only junk buckets (stop-shingle LSH bands, hot SNM prefixes) exceed it —
+# the reference's analogue is the ANN retrieval cap (config.yml:170-174).
+MAX_BLOCK_SIZE = 64
 
 # Decision threshold for match classification (reference config.yml:253
 # `decision_threshold: 0.56`).

@@ -169,8 +169,18 @@ def generate(
     name_pool = [
         (s, g) for s in _SURNAMES for g in _GIVENS if (s, g) not in used_names
     ]
+    needed = n_entities - len(entities)
+    if needed > len(name_pool):
+        # bench scale: extend with hyphenated double surnames (~44k combos)
+        name_pool += [
+            (f"{s1}-{s2}", g)
+            for s1 in _SURNAMES
+            for s2 in _SURNAMES
+            if s1 != s2
+            for g in _GIVENS
+        ][: needed - len(name_pool) + 64]
     rng.shuffle(name_pool)
-    if n_entities - len(entities) > len(name_pool):
+    if needed > len(name_pool):
         raise ValueError("n_entities exceeds the unique-name pool")
     while len(entities) < n_entities:
         surname, given = name_pool.pop()

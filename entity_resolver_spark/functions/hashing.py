@@ -36,7 +36,12 @@ def bucket_expr(token: Column, dim: int) -> Column:
 
 
 def hashed_tf_vectors(
-    df: DataFrame, id_col: str, tokens_col: str, dim: int, idf: bool = True
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    dim: int,
+    idf: bool = True,
+    max_entries: int = 64,
 ) -> DataFrame:
     """(id, tokens array<string>) -> (id, vector map<int,double>) hashed-TF.
 
@@ -74,8 +79,19 @@ def hashed_tf_vectors(
         tf = tf.join(F.broadcast(dfreq), "_b").select(
             id_col, "_b", (F.col("_w") * F.col("_idf")).alias("_w")
         )
+    # Truncate to the max_entries highest-weight buckets BEFORE normalizing:
+    # with IDF weighting the tail carries little cosine mass, and per-pair
+    # cost downstream (map_zip_with is interpreted, not codegen'd) plus
+    # shuffle width scale linearly with map size.
+    entries = F.slice(
+        F.reverse(F.array_sort(F.collect_list(F.struct("_w", "_b")))),
+        1,
+        max_entries,
+    )
     vec = tf.groupBy(id_col).agg(
-        F.map_from_entries(F.collect_list(F.struct("_b", "_w"))).alias("_m")
+        F.map_from_entries(
+            F.transform(entries, lambda e: F.struct(e["_b"], e["_w"]))
+        ).alias("_m")
     )
     norm = F.sqrt(
         F.aggregate(F.map_values("_m"), F.lit(0.0), lambda a, v: a + v * v)

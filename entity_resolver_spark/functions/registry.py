@@ -1,0 +1,119 @@
+"""Feature registry + config-driven custom features (the reference's
+extension surface).
+
+Reference parity:
+* ``register_feature(name, fn)`` / ``substitute_features``
+  (/root/reference/src/feature_engineering.py:354-397) — here a registry of
+  Column *builders*: each feature is a function (left_prefix, right_prefix,
+  params) -> Column, so "registering a feature" composes declaratively into
+  the single feature ``select`` instead of adding a Python callback to a
+  per-pair loop.
+* Config-driven custom feature types (/root/reference/src/custom_features.py:
+  15-614, config.yml:373-391): ``field_match`` (exact equality),
+  ``field_levenshtein``, ``weighted_field_similarity``, and
+  ``composite_feature`` combining registered components with
+  add/multiply/max/min.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from entity_resolver_spark.functions.similarity import (
+    jaro_winkler_pudf,
+    levenshtein_sim_expr,
+)
+
+# builder signature: (l: str prefix, r: str prefix, params: dict) -> Column
+FeatureBuilder = Callable[[str, str, dict], Column]
+
+_REGISTRY: dict[str, FeatureBuilder] = {}
+
+
+def register_feature(name: str, builder: FeatureBuilder) -> None:
+    """Register (or override — the reference's substitute_features) a
+    feature builder under ``name``."""
+    _REGISTRY[name] = builder
+
+
+def get_feature(name: str) -> FeatureBuilder:
+    return _REGISTRY[name]
+
+
+def list_features() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def build_features(
+    specs: list[dict], l_prefix: str = "l_", r_prefix: str = "r_"
+) -> list[Column]:
+    """Materialize a config list [{name, type, params...}] into aliased
+    Columns for one select (the reference iterates its registry the same
+    way, feature_engineering.py:1762-1820)."""
+    cols = []
+    for spec in specs:
+        builder = get_feature(spec["type"])
+        cols.append(builder(l_prefix, r_prefix, spec).alias(spec["name"]))
+    return cols
+
+
+# -- built-in feature types (custom_features.py parity) ---------------------
+
+def _field_match(l: str, r: str, p: dict) -> Column:
+    f = p["field"]
+    return (F.col(f"{l}{f}") == F.col(f"{r}{f}")).cast("double")
+
+
+def _field_levenshtein(l: str, r: str, p: dict) -> Column:
+    f = p["field"]
+    return levenshtein_sim_expr(F.col(f"{l}{f}"), F.col(f"{r}{f}"))
+
+
+def _field_jaro_winkler(l: str, r: str, p: dict) -> Column:
+    f = p["field"]
+    return jaro_winkler_pudf(F.col(f"{l}{f}"), F.col(f"{r}{f}"))
+
+
+def _weighted_field_similarity(l: str, r: str, p: dict) -> Column:
+    """Weighted sum of per-field similarities (custom_features.py
+    weighted_field_similarity)."""
+    total = None
+    wsum = 0.0
+    for field, weight in p["fields"].items():
+        sim = levenshtein_sim_expr(F.col(f"{l}{field}"), F.col(f"{r}{field}"))
+        term = sim * F.lit(float(weight))
+        total = term if total is None else total + term
+        wsum += float(weight)
+    return total / F.lit(wsum)
+
+
+def _composite(l: str, r: str, p: dict) -> Column:
+    """Combine component feature specs with add/multiply/max/min
+    (custom_features.py composite_feature)."""
+    parts = [get_feature(c["type"])(l, r, c) for c in p["components"]]
+    op = p.get("operation", "add")
+    if op == "add":
+        out = parts[0]
+        for c in parts[1:]:
+            out = out + c
+        return out / F.lit(float(len(parts)))
+    if op == "multiply":
+        out = parts[0]
+        for c in parts[1:]:
+            out = out * c
+        return out
+    if op == "max":
+        return F.greatest(*parts) if len(parts) > 1 else parts[0]
+    if op == "min":
+        return F.least(*parts) if len(parts) > 1 else parts[0]
+    raise ValueError(f"unknown composite operation: {op}")
+
+
+register_feature("field_match", _field_match)
+register_feature("field_levenshtein", _field_levenshtein)
+register_feature("field_jaro_winkler", _field_jaro_winkler)
+register_feature("weighted_field_similarity", _weighted_field_similarity)
+register_feature("composite_feature", _composite)

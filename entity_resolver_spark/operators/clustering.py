@@ -58,6 +58,10 @@ def connected_components(
     (deterministic cluster labels). Nodes present only as self-edges are fine;
     isolated nodes should be appended by the caller (see ``cluster_records``).
     """
+    # Cut the caller's lineage once up front: the function scans `edges`
+    # several times (node map, edge relabeling) and an iterative algorithm
+    # must never re-evaluate an arbitrary upstream plan per scan.
+    edges = edges.select("src", "dst").localCheckpoint()
     ids = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -76,21 +80,36 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    prev_sig = None
-    for _ in range(max_iter):
-        e = _large_star(e).localCheckpoint()
-        e = _small_star(e).localCheckpoint()
-        sig = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal sum: ANSI-safe (a long sum of 64-bit hashes overflows)
-            F.coalesce(
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
-            ).alias("h"),
-        ).collect()[0]
-        cur_sig = (sig["n"], str(sig["h"]))
-        if cur_sig == prev_sig:
-            break
-        prev_sig = cur_sig
+    # Size the loop's shuffles to the edge volume: each round is several tiny
+    # shuffles, and running them at the session default (sized for the full
+    # corpus) pays per-task overhead x partitions x rounds for nothing. The
+    # match graph is orders of magnitude smaller than the pair set.
+    spark = edges.sparkSession
+    n_edges = e.count()
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(4, min(default_parts, n_edges // 100_000 + 1))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        if loop_parts < default_parts:
+            e = e.coalesce(loop_parts).localCheckpoint()
+        prev_sig = None
+        for _ in range(max_iter):
+            # one lineage cut per round: large-star feeds small-star
+            # unmaterialized (AQE coalesces the shuffles inside the round)
+            e = _small_star(_large_star(e)).localCheckpoint()
+            sig = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal sum: ANSI-safe (long sum of 64-bit hashes overflows)
+                F.coalesce(
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+                ).alias("h"),
+            ).collect()[0]
+            cur_sig = (sig["n"], str(sig["h"]))
+            if cur_sig == prev_sig:
+                break
+            prev_sig = cur_sig
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
     # After convergence, small-star output is a star forest: u -> root. The
     # root is the hash-order minimum; relabel with the lexicographically
     # minimal member id so cluster labels are deterministic AND meaningful

@@ -28,13 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from entity_resolver_spark.config import EngineConfig
-from entity_resolver_spark.functions.hashing import (
-    hashed_tf_vectors,
-    sparse_cosine_expr,
-)
+from entity_resolver_spark.functions.hashing import hashed_tf_vectors
 from entity_resolver_spark.functions.similarity import (
     jaro_winkler_pudf,
     levenshtein_sim_expr,
+    sparse_cosine_pudf,
 )
 from entity_resolver_spark.functions.years import (
     year_conflict_expr,
@@ -59,46 +57,89 @@ def pair_features(
     records: DataFrame,
     cfg: EngineConfig | None = None,
     vectors: DataFrame | None = None,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """pairs(left, right) -> per-pair feature columns.
 
     Plan shape: pairs ⋈ attrs(left) ⋈ attrs(right) ⋈ vec(left) ⋈ vec(right)
-    -> one select. All joins are hash-equi-joins on record keys; Catalyst/AQE
-    picks broadcast when the attribute side is small.
+    -> one select. With ``broadcast_dims`` (default) the record-attribute and
+    vector sides are broadcast, making the whole scoring pipeline MAP-ONLY
+    over the pairs partitions — zero shuffle of the (wide) pair rows.
+    Catalyst won't pick this itself: it over-estimates the map<int,double>
+    column and plans sort-merge, which shuffles |pairs| x ~1KB rows twice
+    (measured: that shuffle dominated scoring wall). The broadcast side is
+    one row per DISTINCT record/text — the same memory assumption as the
+    reference's per-process dict probes (string_dict/vector caches,
+    src/feature_engineering.py:48-162). For corpora whose distinct-text
+    vector table outgrows executor memory, pass broadcast_dims=False and
+    pre-bucket both sides on text_hash instead.
+    """
+    cfg = cfg or EngineConfig()
+    df = pair_inputs(pairs, records, cfg, vectors, broadcast_dims)
+    return features_from_inputs(df, cfg)
+
+
+def pair_inputs(
+    pairs: DataFrame,
+    records: DataFrame,
+    cfg: EngineConfig | None = None,
+    vectors: DataFrame | None = None,
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """The join half of pair featurization: pairs ⋈ side(L) ⋈ side(R).
+
+    Split from ``features_from_inputs`` so pipelines can materialize the
+    joined inputs as a stage table and run scoring as a pure map — the
+    broadcast hash-table build is paid once per stage, not once per query.
     """
     cfg = cfg or EngineConfig()
     attrs = records.select(*_SIDE_COLS)
     if vectors is None:
         vectors = text_vectors(records, cfg)
 
-    l = attrs.select([F.col(c).alias(f"l_{c}") for c in _SIDE_COLS])
-    r = attrs.select([F.col(c).alias(f"r_{c}") for c in _SIDE_COLS])
-    vl = vectors.select(
-        F.col("text_hash").alias("l_text_hash"), F.col("vector").alias("l_vec")
-    )
-    vr = vectors.select(
-        F.col("text_hash").alias("r_text_hash"), F.col("vector").alias("r_vec")
-    )
-
+    # ONE side table joined twice through aliases: both joins share the same
+    # child plan, so Spark's exchange reuse builds the broadcast hash table
+    # once per query instead of four times (attrs x2 + vectors x2 was the
+    # measured fixed cost of every scoring pass).
+    side = attrs.join(vectors, "text_hash", "left")
+    if broadcast_dims:
+        side = F.broadcast(side)
     df = (
-        pairs.join(l, pairs["left"] == l["l_conv_id"])
-        .join(r, pairs["right"] == r["r_conv_id"])
-        .join(vl, "l_text_hash", "left")
-        .join(vr, "r_text_hash", "left")
+        pairs.join(side.alias("L"), F.col("left") == F.col("L.conv_id"))
+        .join(side.alias("R"), F.col("right") == F.col("R.conv_id"))
     )
+    keep = ["left", "right"]
+    for tag in ("L", "R"):
+        p = tag.lower()
+        keep += [
+            F.col(f"{tag}.{c}").alias(f"{p}_{c}")
+            for c in [*_SIDE_COLS, "vector"]
+            if c != "conv_id"
+        ]
+    return df.select(*keep)
 
-    name_jw = jaro_winkler_pudf(F.col("l_name_key"), F.col("r_name_key"))
-    name_lev = levenshtein_sim_expr(F.col("l_name_key"), F.col("r_name_key"))
+
+def features_from_inputs(df: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """The expression half: joined inputs -> feature columns (map-only)."""
+    cfg = cfg or EngineConfig()
+
+    def L(c: str):
+        return F.col(f"l_{c}")
+
+    def R(c: str):
+        return F.col(f"r_{c}")
+
+    name_jw = jaro_winkler_pudf(L("name_key"), R("name_key"))
+    name_lev = levenshtein_sim_expr(L("name_key"), R("name_key"))
     # Identical-hash short-circuit (the reference returns 1.0 on identical
     # hashes before touching vectors, src/feature_engineering.py:905-915) and
     # the reference's 0.5 missing-vector fallback (:930-948).
-    text_cos = (
-        F.when(F.col("l_text_hash") == F.col("r_text_hash"), F.lit(1.0))
-        .otherwise(
-            F.coalesce(
-                sparse_cosine_expr(F.col("l_vec"), F.col("r_vec")), F.lit(0.5)
-            )
-        )
+    # Cosine runs in the same ArrowEvalPython stage as Jaro-Winkler — one
+    # Python round-trip computes both, each exactly once per row (the native
+    # map_zip_with form is re-inlined per consumer by projection collapse
+    # and its per-row map allocations GC-bound the executors).
+    text_cos = F.when(L("text_hash") == R("text_hash"), F.lit(1.0)).otherwise(
+        F.coalesce(sparse_cosine_pudf(L("vector"), R("vector")), F.lit(0.5))
     )
     df = (
         df.withColumn("name_jw", name_jw)
@@ -118,19 +159,13 @@ def pair_features(
     ).withColumn(
         "year_match",
         year_match_expr(
-            F.col("l_birth_year"),
-            F.col("l_death_year"),
-            F.col("r_birth_year"),
-            F.col("r_death_year"),
+            L("birth_year"), L("death_year"), R("birth_year"), R("death_year"),
             cfg.year_tolerance,
         ),
     ).withColumn(
         "year_conflict",
         year_conflict_expr(
-            F.col("l_birth_year"),
-            F.col("l_death_year"),
-            F.col("r_birth_year"),
-            F.col("r_death_year"),
+            L("birth_year"), L("death_year"), R("birth_year"), R("death_year"),
             cfg.year_tolerance,
         ),
     )

@@ -1,0 +1,114 @@
+"""Attribute imputation from similar records (subject-enhancement analogue).
+
+Reference parity: subject imputation fills missing ``subjects`` for a record
+from vector-similar composites — weighted centroid over neighbors' subject
+vectors, argmax + top-k alternatives, log-frequency scoring
+(/root/reference/src/subject_imputation.py:298-391, src/subject_quality.py:
+209-296; operators A5/A6, W1/W2, J7 in SURVEY §2).
+
+Here: impute a missing categorical attribute (e.g. ``tool``) for a
+conversation from the attribute values of records sharing blocking keys,
+weighted by pair text-cosine — the same compute shape (similarity join ->
+weighted vote -> windowed top-k) without external vector services.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from entity_resolver_spark.config import EngineConfig
+from entity_resolver_spark.functions.hashing import sparse_cosine_expr
+
+
+def impute_attribute(
+    records: DataFrame,
+    vectors: DataFrame,
+    attr_table: DataFrame,
+    blocks: DataFrame,
+    attr_col: str = "attr",
+    min_similarity: float = 0.3,
+    top_k: int = 3,
+) -> DataFrame:
+    """Fill missing attributes.
+
+    Inputs:
+      records     (conv_id, text_hash, ...)           — all records
+      vectors     (text_hash, vector)                 — hashed-TF vectors
+      attr_table  (conv_id, attr)                     — known values (sparse)
+      blocks      (conv_id, block_key)                — blocking keys (reuse
+                  the pipeline's — the similarity join must not be O(n^2))
+    Output: (conv_id, attr, score, rank) — top-k imputed values per record
+    that lacks one, score = sum of neighbor cosines (weighted vote,
+    reference's np.average(vectors, weights=similarities)).
+    """
+    have = attr_table.where(F.col(attr_col).isNotNull())
+    missing = records.join(have.select("conv_id"), "conv_id", "left_anti").select(
+        "conv_id", "text_hash"
+    )
+    donors = records.join(have, "conv_id").select(
+        F.col("conv_id").alias("donor_id"),
+        F.col("text_hash").alias("donor_hash"),
+        F.col(attr_col),
+    )
+    # candidate (missing, donor) pairs via shared blocks
+    mb = blocks.withColumnRenamed("conv_id", "m_id")
+    db = blocks.withColumnRenamed("conv_id", "donor_id")
+    cand = (
+        missing.withColumnRenamed("conv_id", "m_id")
+        .join(mb, "m_id")
+        .join(db, "block_key")
+        .where(F.col("m_id") != F.col("donor_id"))
+        .select("m_id", "text_hash", "donor_id")
+        .dropDuplicates(["m_id", "donor_id"])
+    )
+    vl = vectors.select(F.col("text_hash"), F.col("vector").alias("m_vec"))
+    vr = vectors.select(
+        F.col("text_hash").alias("donor_hash"), F.col("vector").alias("d_vec")
+    )
+    scored = (
+        cand.join(donors, "donor_id")
+        .join(vl, "text_hash")
+        .join(vr, "donor_hash")
+        .select(
+            "m_id",
+            attr_col,
+            sparse_cosine_expr(F.col("m_vec"), F.col("d_vec")).alias("sim"),
+        )
+        .where(F.col("sim") >= min_similarity)
+    )
+    votes = scored.groupBy("m_id", attr_col).agg(
+        F.sum("sim").alias("score"), F.count(F.lit(1)).alias("n_donors")
+    )
+    w = Window.partitionBy("m_id").orderBy(F.desc("score"), F.asc(attr_col))
+    return (
+        votes.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(F.col("m_id").alias("conv_id"), attr_col, "score", "n_donors", "rank")
+    )
+
+
+def impute_conversation_tools(
+    transcripts: DataFrame, records: DataFrame, vectors: DataFrame, cfg: EngineConfig | None = None
+) -> DataFrame:
+    """Concrete use: impute the dominant ``tool`` for conversations that
+    never called one, from textually-similar conversations that did."""
+    from entity_resolver_spark.operators.blocking import all_blocks, split_hot_blocks
+
+    cfg = cfg or EngineConfig()
+    # per-conversation modal tool (count per (conv, tool) -> rank 1)
+    tool_of = (
+        transcripts.where(F.col("tool").isNotNull())
+        .groupBy("conv_id", "tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("conv_id").orderBy(F.desc("n"), F.asc("tool"))
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("conv_id", F.col("tool").alias("attr"))
+    )
+    blocks = split_hot_blocks(all_blocks(records, cfg), cfg)
+    return impute_attribute(records, vectors, tool_of, blocks)

@@ -25,7 +25,12 @@ from entity_resolver_spark.operators.blocking import (
     split_hot_blocks,
 )
 from entity_resolver_spark.operators.clustering import cluster_records
-from entity_resolver_spark.operators.features import pair_features, text_vectors
+from entity_resolver_spark.operators.features import (
+    features_from_inputs,
+    pair_features,
+    pair_inputs,
+    text_vectors,
+)
 from entity_resolver_spark.operators.scoring import Model, score_pairs
 from entity_resolver_spark.operators.transcripts import (
     build_entity_records,
@@ -33,7 +38,7 @@ from entity_resolver_spark.operators.transcripts import (
 )
 from entity_resolver_spark.sources.catalog import Warehouse
 
-STAGES = ["records", "vectors", "pairs", "scored", "clusters"]
+STAGES = ["records", "vectors", "pairs", "pair_inputs", "scored", "clusters"]
 
 
 @dataclass
@@ -92,19 +97,19 @@ class ResolutionPipeline:
 
         pairs = self._run_stage("pairs", build_pairs, resume)
 
-        def build_scored() -> DataFrame:
-            todo = pairs
-            # pair-level resume: skip pairs already scored in a partial commit
-            if resume and self.wh.exists("scored_partial"):
-                done = self.wh.read("scored_partial")
-                todo = pairs.join(done.select("left", "right"), ["left", "right"], "left_anti")
-                feats = pair_features(todo, records, cfg, vectors=vectors)
-                fresh = score_pairs(feats, self.model)
-                return done.unionByName(fresh)
-            feats = pair_features(todo, records, cfg, vectors=vectors)
-            return score_pairs(feats, self.model)
+        # joined pair inputs are a stage of their own: the broadcast build is
+        # paid once here; scoring below is a pure map over this table
+        inputs = self._run_stage(
+            "pair_inputs",
+            lambda: pair_inputs(pairs, records, cfg, vectors=vectors),
+            resume,
+        )
 
-        scored = self._run_stage("scored", build_scored, resume)
+        scored = self._run_stage(
+            "scored",
+            lambda: score_pairs(features_from_inputs(inputs, cfg), self.model),
+            resume,
+        )
 
         edge_t = max(cfg.min_edge_confidence, self.model.edge_threshold)
         clusters = self._run_stage(
@@ -113,6 +118,92 @@ class ResolutionPipeline:
             resume,
         )
         return PipelineResult(clusters=clusters, metrics=self.metrics)
+
+    # ------------------------------------------------------------------
+    def run_incremental(self, new_transcripts: DataFrame) -> PipelineResult:
+        """Fold NEW conversations into a completed run without re-scoring the
+        existing pair set — the reference's processed-set resume semantics
+        (processed_ids skip at src/classifying.py:717, embedding-side variant
+        src/embedding_and_indexing.py:874-877) as set algebra:
+
+          new pairs   = pairs(blocks(all)) involving >=1 new conv,
+                        minus already-scored pairs (left_anti)
+          new scoring = features+scoring on the new pairs only
+          clustering  = re-run on the full edge set (CC cost is proportional
+                        to the sparse match graph, not the corpus)
+
+        Re-delivered conv_ids are replaced (latest wins).
+        """
+        from entity_resolver_spark.operators.blocking import (
+            all_blocks,
+            split_hot_blocks,
+        )
+
+        cfg = self.cfg
+        for stage in ("records", "vectors", "pairs", "scored"):
+            if not self.wh.exists(stage):
+                raise ValueError(
+                    f"run_incremental needs a completed prior run (missing {stage})"
+                )
+        t0 = time.monotonic()
+        new_records = build_entity_records(new_transcripts)
+        old_records = self.wh.read("records")
+        new_ids = new_records.select("conv_id")
+        records = old_records.join(new_ids, "conv_id", "left_anti").unionByName(
+            new_records
+        )
+        stats = self.wh.write("records", records)
+        records = self.wh.read("records")
+        self.metrics.append({"stage": "records_incr", **stats})
+
+        vectors = self._run_stage(
+            "vectors", lambda: text_vectors(records, cfg), resume=False
+        )
+
+        old_pairs = self.wh.read("pairs")
+        blocks = split_hot_blocks(all_blocks(records, cfg), cfg)
+        new_blocks = blocks.join(new_ids, "conv_id", "left_semi")
+        touched = (
+            new_blocks.select("block_key").distinct().join(blocks, "block_key")
+        )
+        a = touched.alias("a")
+        b = touched.alias("b")
+        cand = (
+            a.join(b, "block_key")
+            .where(F.col("a.conv_id") < F.col("b.conv_id"))
+            .select(
+                F.col("a.conv_id").alias("left"), F.col("b.conv_id").alias("right")
+            )
+            .dropDuplicates(["left", "right"])
+        )
+        fresh_pairs = cand.join(
+            old_pairs.select("left", "right"), ["left", "right"], "left_anti"
+        )
+        stats = self.wh.write("pairs_new", fresh_pairs)
+        fresh_pairs = self.wh.read("pairs_new")
+        self.metrics.append({"stage": "pairs_incr", **stats})
+
+        old_scored = self.wh.read("scored")
+        fresh_scored = score_pairs(
+            pair_features(fresh_pairs, records, cfg, vectors=vectors), self.model
+        )
+        scored = old_scored.unionByName(fresh_scored)
+        stats = self.wh.write("scored", scored)
+        scored = self.wh.read("scored")
+        self.metrics.append({"stage": "scored_incr", **stats})
+        self.wh.write(
+            "pairs", old_pairs.unionByName(self.wh.read("pairs_new"))
+        )
+
+        edge_t = max(cfg.min_edge_confidence, self.model.edge_threshold)
+        clusters = cluster_records(records, scored, edge_t)
+        stats = self.wh.write("clusters", clusters)
+        self.metrics.append({"stage": "clusters_incr", **stats})
+        row = {"stage": "run_incremental", "rows": stats["rows"],
+               "wall_ms": int((time.monotonic() - t0) * 1000)}
+        self.metrics.append(row)
+        self.wh.append_metrics(self.metrics)
+        return PipelineResult(clusters=self.wh.read("clusters"), metrics=self.metrics)
 
     # ------------------------------------------------------------------
     def write_side_tables(self, resume: bool = True) -> None:

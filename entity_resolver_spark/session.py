@@ -43,6 +43,14 @@ def get_spark(
             n = os.cpu_count() or 8
         shuffle_partitions = max(8, n)
 
+    # Shuffle/spill dir: in local mode all N executor threads share one
+    # machine's disks, so a slow /tmp serializes every shuffle write and
+    # inverts scaling (a real cluster gives each executor its own disks).
+    # Prefer tmpfs when present; SPARK_LOCAL_DIRS still overrides.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -57,6 +65,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.crossJoin.enabled", "true")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

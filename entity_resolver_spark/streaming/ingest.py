@@ -68,6 +68,9 @@ def incremental_records_sink(warehouse):
             touched = batch_df.select("conv_id").distinct()
             all_turns = batch_df
         warehouse.write("turns", all_turns)
+        # re-read the committed table: all_turns still references the
+        # replaced files (a plan captures its file listing at analysis)
+        all_turns = warehouse.read("turns")
         # recompute records only for touched conversations, keep the rest
         fresh = build_entity_records(
             all_turns.join(touched, "conv_id", "left_semi")

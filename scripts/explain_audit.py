@@ -1,0 +1,76 @@
+"""Physical-plan audit: verify the plans we'd want at 100 TB.
+
+Checks, per headline query:
+* parquet scans carry PushedFilters / pruned ReadSchema (predicate pushdown +
+  column pruning reached the scan)
+* small dimension joins go broadcast
+* WholeStageCodegen spans exist (expressions stay JVM-side)
+
+Prints a PASS/WARN table plus the formatted plan snippets that justify it.
+Run: python scripts/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as m
+    from entity_resolver_spark.session import get_spark
+
+    spark = get_spark("explain-audit", master="local[8]")
+    qs = m.queries()
+
+    checks = {
+        "agg_pricing": dict(pushdown=True, codegen=True),
+        "join_revenue_by_nation": dict(broadcast=True, codegen=True),
+        "anti_join_no_orders": dict(codegen=True),
+        "topk_orders_per_customer": dict(codegen=True, prune=["o_custkey", "o_orderkey", "o_totalprice"]),
+        "token_stats": dict(prune=["lang", "text"], codegen=True),
+        "exact_dedup": dict(prune=["doc_id", "text"], codegen=True),
+        "embedding_topk": dict(codegen=True),
+    }
+    any_warn = False
+    for name, want in checks.items():
+        df = qs[name](spark, sf_dir)
+        plan = plan_of(df)
+        notes = []
+        if want.get("pushdown") and not re.search(r"PushedFilters: \[[^\]]+\]", plan):
+            notes.append("NO pushed filters")
+        if want.get("broadcast") and "BroadcastHashJoin" not in plan:
+            notes.append("NO broadcast join")
+        if want.get("codegen") and "WholeStageCodegen" not in plan:
+            notes.append("NO codegen span")
+        for col in want.get("prune", []):
+            pass  # presence asserted below via ReadSchema width
+        m_rs = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if want.get("prune") and m_rs:
+            read_cols = {c.split(":")[0] for c in m_rs[0].split(",") if c}
+            extra = read_cols - set(want["prune"])
+            if extra:
+                notes.append(f"scan reads extra cols: {sorted(extra)}")
+        status = "PASS" if not notes else "WARN"
+        if notes:
+            any_warn = True
+        print(f"{status:4} {name}: {'; '.join(notes) or 'pushdown/broadcast/codegen as expected'}")
+        for line in plan.splitlines():
+            if "PushedFilters" in line or "ReadSchema" in line or "BroadcastHashJoin" in line.strip()[:40]:
+                print("      " + line.strip()[:160])
+    sys.exit(1 if any_warn else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Attribute imputation from similar records (subject-enhancement analogue)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolver_spark.config import EngineConfig
+from entity_resolver_spark.operators.blocking import all_blocks, split_hot_blocks
+from entity_resolver_spark.operators.features import text_vectors
+from entity_resolver_spark.operators.imputation import impute_attribute
+from entity_resolver_spark.operators.transcripts import build_entity_records
+
+
+def test_impute_from_similar_records(spark):
+    """Records of the same entity (near-identical text) donate their
+    attribute to the member that lacks one; top-ranked value is the
+    similarity-weighted vote winner."""
+    rows = []
+    # entity A: three near-identical convs, two labeled "search_catalog"
+    for cid, drop in (("a1", ""), ("a2", "vienna"), ("a3", "lieder")):
+        text = " ".join(
+            w for w in "symphony vienna lieder composition piano quartet sonata opus".split()
+            if w != drop
+        )
+        rows.append((cid, 0, "user", f"Schubert, Franz. {text}", None, None))
+        rows.append((cid, 1, "assistant", text, None, None))
+    # entity B: different topic, labeled "fetch_record"
+    for cid in ("b1", "b2"):
+        rows.append((cid, 0, "user", f"Curie, Marie. radiation isotope decay laboratory element", None, None))
+        rows.append((cid, 1, "assistant", "radiation isotope decay laboratory element nobel", None, None))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    cfg = EngineConfig()
+    records = build_entity_records(df).cache()
+    vectors = text_vectors(records, cfg)
+    blocks = split_hot_blocks(all_blocks(records, cfg), cfg)
+    attrs = spark.createDataFrame(
+        [("a1", "search_catalog"), ("a2", "search_catalog"), ("b1", "fetch_record")],
+        ["conv_id", "attr"],
+    )
+    out = impute_attribute(records, vectors, attrs, blocks).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    # a3 gets search_catalog (from a1+a2); b2 gets fetch_record (from b1)
+    a3 = sorted(by_conv["a3"], key=lambda r: r["rank"])
+    assert a3[0]["attr"] == "search_catalog"
+    assert a3[0]["n_donors"] == 2
+    b2 = sorted(by_conv["b2"], key=lambda r: r["rank"])
+    assert b2[0]["attr"] == "fetch_record"
+    # records that already have the attribute are not re-imputed
+    assert "a1" not in by_conv and "b1" not in by_conv
