@@ -26,6 +26,14 @@ def plan_of(df) -> str:
     )
 
 
+def executed_plan_of(df) -> str:
+    """Post-execution plan string: AQE finalized, codegen stages marked *(n).
+    Must run an action on THIS QueryExecution (collect), not df.write — a
+    write creates a fresh QueryExecution and leaves this one unfinalized."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as m
@@ -52,8 +60,14 @@ def main() -> None:
             notes.append("NO pushed filters")
         if want.get("broadcast") and "BroadcastHashJoin" not in plan:
             notes.append("NO broadcast join")
-        if want.get("codegen") and "WholeStageCodegen" not in plan:
-            notes.append("NO codegen span")
+        if want.get("codegen"):
+            rows = df.collect()
+            ex = df._jdf.queryExecution().executedPlan().toString()
+            # an empty result lets AQE collapse the plan to a LocalTableScan
+            if rows and "*(" not in ex and "LocalTableScan" not in ex:
+                notes.append("NO codegen span")
+            if rows and "HashAggregate" in ex and "partial_" not in ex:
+                notes.append("NO map-side partial aggregation")
         for col in want.get("prune", []):
             pass  # presence asserted below via ReadSchema width
         m_rs = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
