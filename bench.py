@@ -68,7 +68,7 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_ENTITIES overrides.
     from entity_resolver_spark import datagen
 
-    n_entities = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "4000"))
+    n_entities = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "2000"))
     data = datagen.generate(
         n_entities=n_entities, convs_per_entity=(2, 5), turns_per_conv=(3, 12)
     )
