@@ -319,6 +319,19 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact path — the oracle baseline;
+    the SRP-LSH scale path is equivalence-tested in pytest where vectors are
+    clustered enough for LSH semantics to apply). Threshold 0.45 because the
+    synthetic embeddings have no true near-dups (max pairwise cosine ~0.51)."""
+    from entity_resolver_spark.operators.dedup import embedding_near_dup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.45, exact=True).orderBy(
+        "left", "right"
+    )
+
+
 def q_embedding_label_centroid_sim(spark, sf_dir):
     """A5-style weighted centroid + cosine: avg within-label cosine of each
     vector to its label centroid."""
@@ -350,11 +363,15 @@ def q_embedding_label_centroid_sim(spark, sf_dir):
 # -- entity-resolution ops on derived transcripts (rows-only checks) --------
 
 def q_er_records(spark, sf_dir):
+    """Normalize stage (oracle-checked): conversation grouping, stable
+    turn-window reconstruction, leading-name extraction, year regexes. Column
+    choice is oracle-expressible on purpose — name_key's NFKD normalization
+    is pandas-UDF-only (covered by pytest test_normalize instead)."""
     from entity_resolver_spark.operators.transcripts import build_entity_records
 
     t = derive_transcripts(spark, sf_dir)
     return build_entity_records(t).select(
-        "conv_id", "n_turns", "name_key", "birth_year", "death_year"
+        "conv_id", "n_turns", "first_turn", "name_raw", "birth_year", "death_year"
     ).orderBy("conv_id")
 
 
@@ -405,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": q_quality_buckets,
         "ngram_dedup_verify": q_ngram_dedup_verify,
         "embedding_topk": q_embedding_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
         "er_records": q_er_records,
         "er_candidate_pairs": q_er_candidate_pairs,
@@ -529,6 +547,15 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
             ORDER BY query_id, rank
         """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS left, b.vec_id AS right,
+                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ORDER BY a.vec_id, b.vec_id
+        """,
         "embedding_label_centroid_sim": """
             WITH ex AS (
                 -- parallel unnests zip row-wise in DuckDB
@@ -547,7 +574,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, avg(sim) AS avg_centroid_sim, count(*) AS n_vecs
             FROM sims GROUP BY label ORDER BY label
         """,
-        # quality_buckets / ngram_dedup_verify / er_* are rows-only checks:
-        # they depend on xxhash64 / pandas-UDF / iterative algorithms that
-        # DuckDB cannot reproduce bit-for-bit.
+        "quality_buckets": """
+            WITH s AS (
+                SELECT len(text) AS n_chars,
+                       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_toks,
+                       len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+                       len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+                       len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                           t -> list_contains(['the','and','of','to','in','is','that','for','with','a','an','it','on','as','at','by'], lower(t)))) AS stop_hits
+                FROM documents
+            ), f AS (
+                SELECT
+                    CASE WHEN n_chars >= 50 AND n_chars <= 50000 THEN 1.0 ELSE 0.3 END AS len_score,
+                    CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_score,
+                    CASE WHEN n_chars > 0 THEN 1.0 - least(punct / n_chars * 4, 1.0) ELSE 0.0 END AS punct_score,
+                    CASE WHEN n_toks > 0 THEN least(stop_hits / n_toks * 3, 1.0) ELSE 0.0 END AS stop_score,
+                    CASE WHEN n_toks > 0 AND n_chars / n_toks >= 3 AND n_chars / n_toks <= 12
+                         THEN 1.0 ELSE 0.4 END AS wl_score
+                FROM s
+            )
+            SELECT CAST(floor((0.2 * len_score + 0.25 * alpha_score + 0.2 * punct_score
+                               + 0.2 * stop_score + 0.15 * wl_score) * 10) AS BIGINT) AS q_bucket,
+                   count(*) AS n_docs
+            FROM f GROUP BY q_bucket ORDER BY q_bucket
+        """,
+        "er_records": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, t,
+                       greatest(CAST(ceil(len(t) / 12.0) AS INT), 1) AS n_turns,
+                       array_to_string(list_slice(t, 1, 12), ' ') AS ft
+                FROM base
+            ), convs AS (
+                SELECT 'd' || CAST(doc_id AS VARCHAR) AS conv_id, n_turns,
+                       ft AS first_turn
+                FROM sized
+                UNION ALL
+                -- near-duplicate variant: every token i (0-based) with
+                -- (i + doc_id) % 7 == 0 dropped (DuckDB lambda index is
+                -- 1-based, hence i - 1)
+                SELECT 'v' || CAST(doc_id AS VARCHAR), n_turns,
+                       array_to_string(
+                           list_filter(
+                               list_filter(string_split_regex(ft, '\s+'), x -> x <> ''),
+                               (x, i) -> ((i - 1 + doc_id) % 7) <> 0),
+                           ' ')
+                FROM sized WHERE doc_id % 3 = 0
+            ), named AS (
+                SELECT conv_id, n_turns, first_turn,
+                       regexp_extract(first_turn,
+                           '^((?:\p{Lu}[\p{L}\p{M}'']*\.?|\d{3,4}|b\.|d\.|ca\.|fl\.|born|died|circa|approximately|[,()\-–]|\s)+)',
+                           1) AS name_raw
+                FROM convs
+            )
+            SELECT conv_id, n_turns, first_turn, name_raw,
+                   CAST(nullif(coalesce(
+                       nullif(regexp_extract(name_raw, '(\d{3,4})\s*[-–]\s*(?:ca\.?\s*|approximately\s*|circa\s*)?(\d{3,4})', 1), ''),
+                       nullif(regexp_extract(name_raw, '(?:\bb\.?\s*|\bborn\s+)(\d{3,4})', 1), ''),
+                       nullif(regexp_extract(name_raw, '(\d{3,4})\s*[-–]\s*$', 1), ''),
+                       nullif(regexp_extract(name_raw, '(?:\bca\.?\s*|\bcirca\s*|\bapproximately\s*)(\d{3,4})', 1), '')
+                   ), '') AS INT) AS birth_year,
+                   CAST(nullif(coalesce(
+                       nullif(regexp_extract(name_raw, '(\d{3,4})\s*[-–]\s*(?:ca\.?\s*|approximately\s*|circa\s*)?(\d{3,4})', 2), ''),
+                       nullif(regexp_extract(name_raw, '(?:\bd\.?\s*|\bdied\s+)(\d{3,4})', 1), ''),
+                       nullif(regexp_extract(name_raw, '^\s*[-–]\s*(\d{3,4})', 1), '')
+                   ), '') AS INT) AS death_year
+            FROM named ORDER BY conv_id
+        """,
+        # ngram_dedup_verify / er_candidate_pairs / er_clusters stay
+        # rows-only: they depend on xxhash64-seeded LSH / pandas-UDF scoring /
+        # iterative CC that DuckDB cannot reproduce bit-for-bit.
     }

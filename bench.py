@@ -109,6 +109,16 @@ def main() -> None:
     inputs.count()
     timings["er_pair_inputs"] = round(time.monotonic() - t0, 3)
 
+    # The 100-TB join path: same inputs via shuffled join instead of
+    # broadcast (what auto-select picks once the record side outgrows
+    # executor memory). Recorded to prove the scale path stays within ~1.5x
+    # of the broadcast fast path at this sf.
+    t0 = time.monotonic()
+    pair_inputs(pairs, records, vectors=vectors, broadcast_dims=False).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timings["er_pair_inputs_smj"] = round(time.monotonic() - t0, 3)
+
     scored_plan = score_pairs(features_from_inputs(inputs), model)
     # First pass pays whole-stage codegen compilation, Python worker spin-up,
     # AQE statistics; steady-state = median of three subsequent passes — the

@@ -23,13 +23,15 @@ TF_DIM = 512
 MINHASH_HASHES = 16
 MINHASH_BANDS = 8  # rows_per_band = 2 -> catches moderate Jaccard overlap
 
-# Name-gram LSH: 8 bands x 3 rows. Targets typo-level char-3-gram Jaccard
-# (s>=0.6 -> p>=0.86, s>=0.7 -> 0.96); lower-similarity name pairs (initials,
-# double errors) are covered by the SNM/initials/soundex passes. 2-row bands
-# measured catastrophically permissive at corpus scale: every same-surname
-# pair collides (s~0.45 -> p~0.93), emitting ~100x the candidate volume.
+# Name-gram LSH: 6 bands x 4 rows. Targets typo-level char-3-gram Jaccard
+# (s>=0.7 -> p>=0.81, s>=0.8 -> 0.96); lower-similarity name pairs (initials,
+# double errors) are covered by the SNM/initials/soundex passes. The r1
+# setting (8 bands x 3 rows) measured 292k of 342k total candidate pairs from
+# this pass alone for 0.007 marginal recall (scripts/blocking_audit.py):
+# same-surname families (s~0.45) collided at p~0.53; 4-row bands cut that to
+# ~0.22 while keeping true typo pairs.
 NAME_LSH_HASHES = 24
-NAME_LSH_BANDS = 8
+NAME_LSH_BANDS = 6
 
 # Word-shingle width for MinHash (3-grams over normalized tokens).
 SHINGLE_K = 3
@@ -63,6 +65,15 @@ DEFAULT_EDGE_THRESHOLD = 0.7
 # src/feature_engineering.py:1174-1302).
 YEAR_TOLERANCE = 2
 
+# pair_inputs broadcasts the per-record attrs+vector side while it fits:
+# ~1 KB/record serialized (name key + years + a <=64-entry sparse vector), so
+# 1M records ~ 1 GB — the safe ceiling for an executor-resident hash table.
+# Larger corpora automatically fall back to a shuffled (sort-merge) join,
+# which scales with the cluster instead of with executor memory. The
+# reference's analogue is per-process dict probes over ALL records
+# (src/feature_engineering.py:48-162) — memory-unbounded; this is not.
+BROADCAST_MAX_RECORDS = 1_000_000
+
 # Training hyper-parameters (reference config.yml:246-253).
 LR_LEARNING_RATE = 0.05
 LR_L2 = 0.01
@@ -81,6 +92,7 @@ FEATURE_COLS = [
     "year_match",
     "year_conflict",
     "text_low",
+    "taxonomy_dissimilarity",
 ]
 
 # Default pre-trained weights: fit by entity_resolver_spark.operators.scoring
@@ -89,15 +101,16 @@ FEATURE_COLS = [
 # model object — these become literals in the scoring expression (the
 # reference's sigma(X.w + b), src/training.py:371-497).
 DEFAULT_WEIGHTS: dict[str, float] = {
-    "name_jw": 0.2302,
-    "name_lev_sim": 0.1724,
-    "text_cosine": 1.6717,
-    "name_text_squared": 1.2523,
-    "year_match": 0.1726,
-    "year_conflict": -0.0631,
-    "text_low": -2.0628,
+    "name_jw": 0.2117,
+    "name_lev_sim": 0.1004,
+    "text_cosine": 1.7144,
+    "name_text_squared": 1.2627,
+    "year_match": 0.1398,
+    "year_conflict": -0.1270,
+    "text_low": -2.0766,
+    "taxonomy_dissimilarity": -0.3041,
 }
-DEFAULT_BIAS = 0.6135
+DEFAULT_BIAS = 0.7111
 
 
 @dataclass
@@ -112,6 +125,7 @@ class EngineConfig:
     snm_window: int = SNM_WINDOW
     snm_prefix_len: int = SNM_PREFIX_LEN
     max_block_size: int = MAX_BLOCK_SIZE
+    broadcast_max_records: int = BROADCAST_MAX_RECORDS
     decision_threshold: float = DECISION_THRESHOLD
     min_edge_confidence: float = MIN_EDGE_CONFIDENCE
     year_tolerance: int = YEAR_TOLERANCE

@@ -65,7 +65,15 @@ _FILLER = [
     "confirm", "whether", "they", "refer", "to", "same", "person", "notes",
     "from", "session", "follow", "up", "on", "earlier", "discussion", "about",
 ]
-_TOOLS = ["search_catalog", "fetch_record", "lookup_authority", None, None]
+# Tool pool matches operators.taxonomy.DEFAULT_TAXONOMY's children. Each
+# ENTITY gets a stable 2-tool working profile (people keep their habits
+# across conversations), so same-entity conversations share tool categories
+# while confounders usually diverge — the signal the reference's taxonomy
+# feature encodes via subject categories (src/taxonomy_feature.py:267-313).
+_TOOL_POOL = [
+    "search_catalog", "fetch_record", "lookup_authority",
+    "cite_source", "run_query", "exec_code",
+]
 _DIACRITIC_MAP = str.maketrans({"a": "á", "e": "é", "o": "ö", "u": "ü"})
 
 
@@ -77,6 +85,7 @@ class Entity:
     birth: int
     death: int
     domain: list[str]
+    tools: list[str] | None = None
 
 
 def _name_variants(rng: random.Random, e: Entity, n: int) -> list[str]:
@@ -203,6 +212,8 @@ def generate(
     conv_seq = 0
     conv_ids_by_entity: dict[str, list[str]] = {}
     for e in entities:
+        if e.tools is None:
+            e.tools = rng.sample(_TOOL_POOL, 2)
         n_convs = rng.randint(*convs_per_entity)
         variants = _name_variants(rng, e, n_convs)
         script = _base_script(rng, e, turns_per_conv[1])
@@ -221,7 +232,7 @@ def generate(
                     text = f"{v}. {_perturb(rng, base)}"
                 else:
                     role = rng.choice(["user", "assistant", "tool"])
-                    tool = rng.choice(_TOOLS) if role == "tool" else None
+                    tool = rng.choice(e.tools) if role == "tool" else None
                     text = _perturb(rng, base)
                 t_rows.append(
                     (conv_id, ti, role, text, tool, ts0 + timedelta(minutes=ti))

@@ -136,24 +136,32 @@ def shingles_expr(tokens: Column, k: int) -> Column:
     return F.when(n >= k, windows).otherwise(F.array(F.concat_ws(" ", tokens)))
 
 
+def minhash_sig_expr(shingles: Column, n_hashes: int) -> Column:
+    """MinHash signature of a shingle array as a PURE EXPRESSION — no explode,
+    no shuffle. h_i(s) = xxhash64(s, i); element i = min over shingles.
+
+    This is the 100-TB-shape: the previous explode+groupBy form shuffled one
+    row per shingle (i.e. re-shuffled the whole corpus text to compute a
+    16-long sketch per record); this form is map-side only. Each signature
+    element is consumed exactly once by the band keys, so Catalyst's
+    per-consumer re-inlining of interpreted HOFs costs nothing here.
+    """
+    def hash_with(i: int):
+        # closure factory: a 2-arg lambda would be read as (element, index)
+        # by F.transform and the index would silently override the seed
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, hash_with(i))) for i in range(n_hashes)]
+    )
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, shingles_col: str, n_hashes: int
 ) -> DataFrame:
-    """(id, shingles) -> (id, sig array<long>[n_hashes]).
-
-    h_i(s) = xxhash64(s, i) (seeded by mixing in the hash index as an extra
-    hashed column); signature element i = min over shingles. Expressed as one
-    explode + one groupBy with n_hashes min-aggregates — a single shuffle.
-    """
-    exploded = df.select(F.col(id_col), F.explode(F.col(shingles_col)).alias("_s"))
-    aggs = [
-        F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}")
-        for i in range(n_hashes)
-    ]
-    sig = exploded.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"),
+    """(id, shingles) -> (id, sig array<long>[n_hashes]); see minhash_sig_expr."""
+    return df.select(
+        F.col(id_col), minhash_sig_expr(F.col(shingles_col), n_hashes).alias("sig")
     )
 
 

@@ -90,6 +90,35 @@ def _weighted_field_similarity(l: str, r: str, p: dict) -> Column:
     return total / F.lit(wsum)
 
 
+def _field_matrix(l: str, r: str, p: dict) -> Column:
+    """Compatibility-matrix lookup on a categorical field pair — the analogue
+    of the reference's role-compatibility matrix (X9: title_role_adjusted,
+    src/feature_engineering.py:1329-1389; matrix at config.yml:347-371).
+
+    params: field, matrix {left_value: {right_value: score}},
+    default (unlisted pair), symmetric (default True — the reference's matrix
+    is given one-directional and applied both ways). Compose with
+    ``composite_feature`` multiply to weight a similarity by compatibility,
+    exactly the reference's ``title_cosine * role_score`` shape.
+    """
+    f = p["field"]
+    a, b = F.col(f"{l}{f}"), F.col(f"{r}{f}")
+    symmetric = p.get("symmetric", True)
+    expr = None
+    for va, row in p["matrix"].items():
+        for vb, score in row.items():
+            cond = (a == va) & (b == vb)
+            if symmetric and va != vb:
+                cond = cond | ((a == vb) & (b == va))
+            expr = (
+                F.when(cond, F.lit(float(score)))
+                if expr is None
+                else expr.when(cond, F.lit(float(score)))
+            )
+    default = F.lit(float(p.get("default", 0.5)))
+    return default if expr is None else expr.otherwise(default)
+
+
 def _composite(l: str, r: str, p: dict) -> Column:
     """Combine component feature specs with add/multiply/max/min
     (custom_features.py composite_feature)."""
@@ -116,4 +145,5 @@ register_feature("field_match", _field_match)
 register_feature("field_levenshtein", _field_levenshtein)
 register_feature("field_jaro_winkler", _field_jaro_winkler)
 register_feature("weighted_field_similarity", _weighted_field_similarity)
+register_feature("field_matrix", _field_matrix)
 register_feature("composite_feature", _composite)

@@ -6,9 +6,10 @@ Reference parity:
   column expression.
 * Jaro-Winkler — /root/reference/src/feature_engineering.py:728-797 (classic
   JW, prefix scale 0.1, prefix length <= 4). No Spark built-in -> Arrow-batched
-  pandas UDF. The inner loop is per-pair Python but batched through Arrow
-  (the reference computes it per-pair in pure Python too; at scale swap in a
-  compiled library via the same UDF seam).
+  pandas UDF whose kernel is numpy-vectorized over the BATCH dimension: the
+  greedy match loop runs over character positions (strings are short), each
+  step a boolean matrix op over all rows at once — no per-row Python. The
+  scalar ``jaro_winkler`` stays as the test oracle.
 * Cosine — /root/reference/src/feature_engineering.py:581-657 (dot/(|a||b|),
   clamped to [0,1], 1.0 when both effectively zero). Two implementations:
   a native expression over array<double> (zip_with + aggregate, codegen'd)
@@ -84,14 +85,116 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     return j + prefix * prefix_weight * (1.0 - j)
 
 
+# Batch kernel caps string length (codepoints). Name keys are tens of chars;
+# pathological inputs are truncated rather than allowed to quadratically blow
+# up the O(L1*L2)-bitmap work. The A/B pads differ so padding never matches.
+_JW_MAX_LEN = 127
+
+
+def _encode_batch(strs, pad_code: int, max_len: int = _JW_MAX_LEN):
+    """list[str] -> (codepoint matrix uint32 [n, Lmax], lengths int64 [n]).
+
+    One C-level join + one utf-32 encode + one vectorized scatter; the only
+    per-row Python is ``map(len, ...)``.
+    """
+    n = len(strs)
+    raw = np.fromiter(map(len, strs), np.int64, n)
+    lens = np.minimum(raw, max_len)
+    L = max(int(lens.max()) if n else 1, 1)
+    flat = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32)
+    codes = np.full((n, L), pad_code, dtype=np.uint32)
+    rows = np.repeat(np.arange(n), raw)
+    offsets = np.concatenate(([0], np.cumsum(raw)[:-1]))
+    cols = np.arange(flat.size) - np.repeat(offsets, raw)
+    keep = cols < L
+    codes[rows[keep], cols[keep]] = flat[keep]
+    return codes, lens
+
+
+def jaro_winkler_batch(av: np.ndarray, bv: np.ndarray) -> np.ndarray:
+    """Vectorized classic Jaro-Winkler over two object arrays of strings.
+
+    Same algorithm as the scalar ``jaro_winkler`` (reference parity:
+    src/feature_engineering.py:728-797) but restructured so the Python loop
+    runs over CHARACTER POSITIONS, with each greedy matching step a boolean
+    matrix operation over the whole Arrow batch — no per-row Python.
+
+    The kernel's work is O(rows * Lmax^2), so rows are bucketed by pair
+    length first: one pathological long string must not force every short
+    name in the batch onto a 127-wide bitmap.
+    """
+    n = len(av)
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    mx = np.maximum(
+        np.fromiter(map(len, av), np.int64, n),
+        np.fromiter(map(len, bv), np.int64, n),
+    )
+    bucket = np.searchsorted([16, 32, 64], mx, side="left")
+    for bkt in np.unique(bucket):
+        idx = np.nonzero(bucket == bkt)[0]
+        out[idx] = _jw_kernel(av[idx], bv[idx])
+    return out
+
+
+def _jw_kernel(av: np.ndarray, bv: np.ndarray) -> np.ndarray:
+    n = len(av)
+    A, la = _encode_batch(av, 0x10FFFE)
+    B, lb = _encode_batch(bv, 0x10FFFF)
+    L1, L2 = A.shape[1], B.shape[1]
+
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)[:, None]
+    jpos = np.arange(L2)[None, :]
+    flags1 = np.zeros((n, L1), dtype=bool)
+    flags2 = np.zeros((n, L2), dtype=bool)
+    matches = np.zeros(n, dtype=np.int64)
+    # Pad chars (\x00 vs \x01) never equal each other or real characters, so
+    # rows past their own length can't produce matches — no activity mask
+    # needed inside the loop. validb bounds j to real b positions.
+    validb = jpos < lb[:, None]
+    i_max = int(la.max())
+    for i in range(i_max):
+        cand = (B == A[:, i][:, None]) & (np.abs(jpos - i) <= w) & validb & ~flags2
+        hit = cand.any(axis=1)
+        j = cand.argmax(axis=1)
+        rows = np.nonzero(hit)[0]
+        flags2[rows, j[rows]] = True
+        flags1[rows, i] = True
+        matches += hit
+
+    # Transpositions: matched chars of each side in position order align
+    # row-by-row after boolean extraction (row-major); per-row mismatch count
+    # via one bincount over segment ids.
+    t_a = A[flags1]
+    t_b = B[flags2]
+    seg = np.repeat(np.arange(n), matches)
+    trans = (
+        np.bincount(seg, weights=(t_a != t_b).astype(np.float64), minlength=n)
+        .astype(np.int64)
+        // 2
+    )
+    m = matches.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m / la + m / lb + (m - trans) / m) / 3.0
+    jaro = np.where(matches > 0, jaro, 0.0)
+
+    k = min(4, L1, L2)
+    if k > 0:
+        prefix = np.cumprod(A[:, :k] == B[:, :k], axis=1).sum(axis=1)
+    else:
+        prefix = np.zeros(n, dtype=np.int64)
+    jw = jaro + prefix * 0.1 * (1.0 - jaro)
+    # Identical strings (incl. both-empty) are exactly 1.0, matching the
+    # scalar's short-circuit.
+    return np.where(av == bv, 1.0, jw)
+
+
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
     av = a.fillna("").to_numpy()
     bv = b.fillna("").to_numpy()
-    out = np.empty(len(av), dtype=np.float64)
-    for i in range(len(av)):
-        out[i] = jaro_winkler(av[i], bv[i])
-    return pd.Series(out)
+    return pd.Series(jaro_winkler_batch(av, bv))
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
@@ -115,51 +218,79 @@ def cosine_expr(a: Column, b: Column) -> Column:
     )
 
 
+def _flatten_arrays(series: pd.Series, mask: np.ndarray, dtype):
+    """Series of variable-length arrays -> (flat values, per-row lengths)."""
+    vals = series.to_numpy()[mask]
+    lens = np.fromiter((len(x) for x in vals), np.int64, len(vals))
+    if len(vals):
+        flat = np.concatenate([np.asarray(x, dtype=dtype) for x in vals])
+    else:
+        flat = np.empty(0, dtype=dtype)
+    return flat, lens
+
+
 @F.pandas_udf(T.DoubleType())
-def sparse_cosine_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Dot product of two L2-normalized sparse map<int,double> vectors
-    (Arrow map columns arrive as per-row dicts). Semantically identical to
-    ``hashing.sparse_cosine_expr`` but evaluated in the Python stage:
-    Catalyst re-inlines interpreted higher-order functions per consumer
+def sparse_cosine_pudf(
+    kl: pd.Series, vl: pd.Series, kr: pd.Series, vr: pd.Series
+) -> pd.Series:
+    """Dot product of two L2-normalized sparse vectors given as parallel
+    (keys array<int>, values array<double>) columns — callers pass
+    ``map_keys(vec), map_values(vec)`` of the map<int,double> storage form.
+
+    Fully numpy-vectorized: flatten each side's Arrow list buffers, scatter
+    into dense (batch, dim) matrices (keys are hashed-TF buckets bounded by
+    tf_dim, so dim = max_key+1 is small), one einsum row-dot. Semantically
+    identical to ``hashing.sparse_cosine_expr`` but evaluated in the Python
+    stage: Catalyst re-inlines interpreted higher-order functions per consumer
     (measured: 3 evaluations/row, map allocations GC-bound the executors),
-    while a Python UDF is computed once and its result reused as a column."""
-    out = np.empty(len(a), dtype=np.float64)
-    av = a.to_numpy()
-    bv = b.to_numpy()
-    for i in range(len(av)):
-        x, y = av[i], bv[i]
-        if x is None or y is None:
-            out[i] = np.nan
-            continue
-        if len(y) < len(x):
-            x, y = y, x
-        dot = 0.0
-        for k, v in x.items():
-            w = y.get(k)
-            if w is not None:
-                dot += v * w
-        out[i] = min(max(dot, 0.0), 1.0)
+    while a Python UDF is computed once and its result reused as a column.
+    NULL either side -> NaN (callers coalesce to the 0.5 fallback)."""
+    n = len(kl)
+    out = np.full(n, np.nan, dtype=np.float64)
+    keep = ~(kl.isna().to_numpy() | kr.isna().to_numpy())
+    m = int(keep.sum())
+    if m == 0:
+        return pd.Series(out)
+    ka, la = _flatten_arrays(kl, keep, np.int64)
+    va, _ = _flatten_arrays(vl, keep, np.float64)
+    kb, lb = _flatten_arrays(kr, keep, np.int64)
+    vb, _ = _flatten_arrays(vr, keep, np.float64)
+    dim = int(max(ka.max(initial=-1), kb.max(initial=-1))) + 1
+    if dim <= 0:
+        out[keep] = 0.0
+        return pd.Series(out)
+    A = np.zeros((m, dim), dtype=np.float64)
+    B = np.zeros((m, dim), dtype=np.float64)
+    A[np.repeat(np.arange(m), la), ka] = va
+    B[np.repeat(np.arange(m), lb), kb] = vb
+    out[keep] = np.clip(np.einsum("ij,ij->i", A, B), 0.0, 1.0)
     return pd.Series(out)
 
 
 @F.pandas_udf(T.DoubleType())
 def cosine_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Numpy-vectorized cosine over array columns (Arrow batch in, one
-    matmul-free fused pass; fast path for wide dense vectors)."""
-    out = np.empty(len(a), dtype=np.float64)
-    for i in range(len(a)):
-        va, vb = a.iloc[i], b.iloc[i]
-        if va is None or vb is None:
-            out[i] = np.nan
-            continue
-        va = np.asarray(va, dtype=np.float64)
-        vb = np.asarray(vb, dtype=np.float64)
-        na = np.linalg.norm(va)
-        nb = np.linalg.norm(vb)
-        if na < 1e-10 and nb < 1e-10:
-            out[i] = 1.0
-        elif na < 1e-10 or nb < 1e-10:
-            out[i] = 0.0
-        else:
-            out[i] = min(max(float(va @ vb) / (na * nb), 0.0), 1.0)
+    """Numpy-vectorized cosine over dense array columns: stack the batch into
+    (n, dim) matrices, fused row-dot + norms — no per-row Python. Fast path
+    for wide fixed-dim embedding vectors."""
+    n = len(a)
+    out = np.full(n, np.nan, dtype=np.float64)
+    av, bv = a.to_numpy(), b.to_numpy()
+    keep = np.fromiter(
+        (x is not None and y is not None for x, y in zip(av, bv)), bool, n
+    )
+    m = int(keep.sum())
+    if m == 0:
+        return pd.Series(out)
+    A = np.stack([np.asarray(x, dtype=np.float64) for x in av[keep]])
+    B = np.stack([np.asarray(x, dtype=np.float64) for x in bv[keep]])
+    dots = np.einsum("ij,ij->i", A, B)
+    na = np.sqrt(np.einsum("ij,ij->i", A, A))
+    nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+    eps = 1e-10
+    both_zero = (na < eps) & (nb < eps)
+    one_zero = ((na < eps) | (nb < eps)) & ~both_zero
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.clip(dots / (na * nb), 0.0, 1.0)
+    cos = np.where(both_zero, 1.0, np.where(one_zero, 0.0, cos))
+    out[keep] = cos
     return pd.Series(out)

@@ -59,8 +59,13 @@ def year_match_expr(
     (src/feature_engineering.py:1174-1302): when both sides carry both years,
     both must agree within tolerance; single-shared-year cases compare that
     year; when neither side has any year info the feature is 0.0 (the
-    reference returns 0.0 despite its docstring, feature_engineering.py:1224);
-    asymmetric availability -> neutral 0.5.
+    reference returns 0.0 despite its docstring, feature_engineering.py:1224).
+
+    DELIBERATE DEVIATION: asymmetric availability (one side has only a birth
+    year, the other only a death year) returns neutral 0.5 here, where the
+    reference falls through to 0.0. 0.0 would read "years disagree" for pairs
+    that merely lack comparable years; the trained weights are fit against
+    this 3-level semantics, so behavior is self-consistent.
     """
     tol = F.lit(tolerance)
     both_pairs = bl.isNotNull() & dl.isNotNull() & br.isNotNull() & dr.isNotNull()

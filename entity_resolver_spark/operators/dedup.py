@@ -14,7 +14,9 @@ generalize that to document corpora at 100 TB scale:
 * ngram_jaccard_pairs— exact n-gram Jaccard via explode + self-join +
                        intersection/union counting (no hashing, SQL-oracle
                        friendly; the verification step after LSH).
-* embedding_near_dup — cosine near-dup over an embedding column.
+* embedding_near_dup — cosine near-dup over an embedding column: SRP-LSH
+                       bucketed candidate generation (reuses lsh_topk's
+                       machinery) + exact cosine verification >= threshold.
 
 All are pure DataFrame plans; skew-prone self-joins go through the same
 hot-block splitting as entity blocking.
@@ -154,6 +156,75 @@ def simhash_pairs(
         .dropDuplicates(["left", "right"])
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dup(
+    docs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    n_bits: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (left, right, cos_sim >= threshold).
+
+    Scale path (default): signed-random-projection buckets (broadcast
+    hyperplane tables, same construction as similarity_search.lsh_topk) —
+    near-identical vectors agree on every sign bit w.h.p., so candidates come
+    from an equi-join on (table, bucket), never an all-pairs product; exact
+    cosine then verifies. ``exact=True`` switches candidate generation to the
+    full self-join — the small-corpus/oracle baseline.
+    """
+    from entity_resolver_spark.functions.similarity import cosine_expr
+
+    c = docs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if exact:
+        cand = (
+            c.select(F.col("_id").alias("left"))
+            .crossJoin(c.select(F.col("_id").alias("right")))
+            .where(F.col("left") < F.col("right"))
+        )
+    else:
+        dim = len(docs.select(vec_col).first()[0])
+        rng = np.random.RandomState(seed)
+        planes_df = docs.sparkSession.createDataFrame(
+            [(t, rng.normal(size=(n_bits, dim)).tolist()) for t in range(n_tables)],
+            "tbl int, planes array<array<double>>",
+        )
+        v = F.col("_v").cast("array<double>")
+        dot = lambda a, b: F.aggregate(  # noqa: E731
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bkt = F.array_join(
+            F.transform(
+                F.col("planes"),
+                lambda p: F.when(dot(v, p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+            "",
+        )
+        b = c.crossJoin(F.broadcast(planes_df)).select(
+            "_id", F.col("tbl"), bkt.alias("bkt")
+        )
+        cand = (
+            b.alias("a")
+            .join(b.select(F.col("_id").alias("_rid"), "tbl", "bkt").alias("r"), ["tbl", "bkt"])
+            .where(F.col("_id") < F.col("_rid"))
+            .select(F.col("_id").alias("left"), F.col("_rid").alias("right"))
+            .dropDuplicates(["left", "right"])
+        )
+    l = c.select(F.col("_id").alias("left"), F.col("_v").alias("_lv"))
+    r = c.select(F.col("_id").alias("right"), F.col("_v").alias("_rv"))
+    sim = cosine_expr(
+        F.col("_lv").cast("array<double>"), F.col("_rv").cast("array<double>")
+    )
+    return (
+        cand.join(l, "left")
+        .join(r, "right")
+        .select("left", "right", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
 
 
 def ngram_jaccard_pairs(

@@ -16,6 +16,7 @@ Feature set (analogue of the reference's enabled set, config.yml:276-290):
   name_text_squared  — ((name_jw + text_cosine)/2)^2 ("person_title_squared"
                        X3's shape: average-then-square)
   year_match         — birth/death-year agreement (X4/F6)
+  taxonomy_dissimilarity — min category-pair dissimilarity over tools (X5/J9)
 
 The compute-once-per-distinct discipline the reference encodes (embed each
 unique string once — src/embedding_and_indexing.py:835-912) is preserved:
@@ -38,10 +39,13 @@ from entity_resolver_spark.functions.years import (
     year_conflict_expr,
     year_match_expr,
 )
+from entity_resolver_spark.operators.taxonomy import taxonomy_dissimilarity_expr
 
 # Attributes each pair side needs. Keeping this projection narrow matters:
 # the join fan-out is 2x pairs, so every extra column is paid twice.
-_SIDE_COLS = ["conv_id", "name_key", "birth_year", "death_year", "text_hash"]
+_SIDE_COLS = [
+    "conv_id", "name_key", "birth_year", "death_year", "text_hash", "categories",
+]
 
 
 def text_vectors(records: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -57,22 +61,12 @@ def pair_features(
     records: DataFrame,
     cfg: EngineConfig | None = None,
     vectors: DataFrame | None = None,
-    broadcast_dims: bool = True,
+    broadcast_dims: bool | None = None,
 ) -> DataFrame:
     """pairs(left, right) -> per-pair feature columns.
 
     Plan shape: pairs ⋈ attrs(left) ⋈ attrs(right) ⋈ vec(left) ⋈ vec(right)
-    -> one select. With ``broadcast_dims`` (default) the record-attribute and
-    vector sides are broadcast, making the whole scoring pipeline MAP-ONLY
-    over the pairs partitions — zero shuffle of the (wide) pair rows.
-    Catalyst won't pick this itself: it over-estimates the map<int,double>
-    column and plans sort-merge, which shuffles |pairs| x ~1KB rows twice
-    (measured: that shuffle dominated scoring wall). The broadcast side is
-    one row per DISTINCT record/text — the same memory assumption as the
-    reference's per-process dict probes (string_dict/vector caches,
-    src/feature_engineering.py:48-162). For corpora whose distinct-text
-    vector table outgrows executor memory, pass broadcast_dims=False and
-    pre-bucket both sides on text_hash instead.
+    -> one select. See ``pair_inputs`` for the broadcast-vs-shuffle policy.
     """
     cfg = cfg or EngineConfig()
     df = pair_inputs(pairs, records, cfg, vectors, broadcast_dims)
@@ -84,18 +78,34 @@ def pair_inputs(
     records: DataFrame,
     cfg: EngineConfig | None = None,
     vectors: DataFrame | None = None,
-    broadcast_dims: bool = True,
+    broadcast_dims: bool | None = None,
 ) -> DataFrame:
     """The join half of pair featurization: pairs ⋈ side(L) ⋈ side(R).
 
     Split from ``features_from_inputs`` so pipelines can materialize the
     joined inputs as a stage table and run scoring as a pure map — the
     broadcast hash-table build is paid once per stage, not once per query.
+
+    Join strategy (``broadcast_dims=None`` auto-selects, the default):
+    * broadcast — while the per-record side fits executor memory
+      (<= cfg.broadcast_max_records, ~1 KB/record), broadcasting it makes
+      scoring MAP-ONLY over the pairs partitions: zero shuffle of the wide
+      pair rows. Catalyst won't pick this itself — it over-estimates the
+      map<int,double> column and plans sort-merge, which shuffles
+      |pairs| x ~1KB rows twice (measured: that shuffle dominated scoring).
+    * shuffle (sort-merge/shuffled-hash via AQE) — beyond the cap the side
+      table can't live in one executor's memory; a shuffled equi-join on
+      conv_id scales with the cluster. This is the 100-TB path; the
+      broadcast form is the small/medium fast path. The auto-switch costs
+      one count() over records per stage — at scale that's a parquet
+      metadata scan, amortized by the join it sizes.
     """
     cfg = cfg or EngineConfig()
     attrs = records.select(*_SIDE_COLS)
     if vectors is None:
         vectors = text_vectors(records, cfg)
+    if broadcast_dims is None:
+        broadcast_dims = records.count() <= cfg.broadcast_max_records
 
     # ONE side table joined twice through aliases: both joins share the same
     # child plan, so Spark's exchange reuse builds the broadcast hash table
@@ -139,7 +149,13 @@ def features_from_inputs(df: DataFrame, cfg: EngineConfig | None = None) -> Data
     # map_zip_with form is re-inlined per consumer by projection collapse
     # and its per-row map allocations GC-bound the executors).
     text_cos = F.when(L("text_hash") == R("text_hash"), F.lit(1.0)).otherwise(
-        F.coalesce(sparse_cosine_pudf(L("vector"), R("vector")), F.lit(0.5))
+        F.coalesce(
+            sparse_cosine_pudf(
+                F.map_keys(L("vector")), F.map_values(L("vector")),
+                F.map_keys(R("vector")), F.map_values(R("vector")),
+            ),
+            F.lit(0.5),
+        )
     )
     df = (
         df.withColumn("name_jw", name_jw)
@@ -168,5 +184,12 @@ def features_from_inputs(df: DataFrame, cfg: EngineConfig | None = None) -> Data
             L("birth_year"), L("death_year"), R("birth_year"), R("death_year"),
             cfg.year_tolerance,
         ),
+    ).withColumn(
+        # X5: min dissimilarity over the tool-category cross product — the
+        # reference's enabled feature set includes it (config.yml:276-290,
+        # scored at src/taxonomy_feature.py:204-313). Native expression over
+        # the two small category arrays; taxonomy is broadcast literals.
+        "taxonomy_dissimilarity",
+        taxonomy_dissimilarity_expr(L("categories"), R("categories")),
     )
     return df.select("left", "right", *cfg.feature_cols)

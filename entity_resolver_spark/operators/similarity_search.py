@@ -59,20 +59,6 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _srp_bucket_expr(vec, planes: list[list[float]]):
-    """Sign-pattern bucket id for one hyperplane table (native expression)."""
-    bits = []
-    for j, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(
-            F.when(_dot(vec, arr) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -89,22 +75,35 @@ def lsh_topk(
     Each of ``n_tables`` independent tables hashes a vector to an
     ``n_bits``-bit sign pattern; candidates are ids colliding with the query
     in >=1 table. Collisions are found with one equi-join on (table, bucket)
-    after a posexplode — a shuffle on small keys, never a cross join.
+    — a shuffle on small keys, never a cross join.
+
+    The hyperplanes live in a BROADCAST DataFrame (one row per table, an
+    array<array<double>> of planes), not in plan literals: at dim 1536 the
+    literal form is n_tables*n_bits*1536 ~ 100k constants, which bloats the
+    plan/codegen far past Spark's limits. The broadcast join fans each vector
+    out to n_tables rows; the bucket is a sign-bit string computed per row.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
-    tables = [rng.normal(size=(n_bits, dim)).tolist() for _ in range(n_tables)]
+    spark = corpus.sparkSession
+    planes_df = spark.createDataFrame(
+        [(t, rng.normal(size=(n_bits, dim)).tolist()) for t in range(n_tables)],
+        "tbl int, planes array<array<double>>",
+    )
 
     def buckets(df: DataFrame, idname: str) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
-        cols = [
-            F.struct(F.lit(t).alias("tbl"), _srp_bucket_expr(v, planes).alias("bkt"))
-            for t, planes in enumerate(tables)
-        ]
-        return df.select(
-            F.col(id_col).alias(idname), F.explode(F.array(*cols)).alias("tb")
-        ).select(idname, "tb.tbl", "tb.bkt")
+        bkt = F.array_join(
+            F.transform(
+                F.col("planes"),
+                lambda p: F.when(_dot(v, p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+            "",
+        )
+        return df.crossJoin(F.broadcast(planes_df)).select(
+            F.col(id_col).alias(idname), F.col("tbl"), bkt.alias("bkt")
+        )
 
     qb = buckets(queries, "query_id")
     cb = buckets(corpus, "vec_id")
@@ -144,7 +143,15 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-flat: corpus partitioned into ``n_cells`` Voronoi cells around
     deterministic sampled seeds; queries scan only their ``nprobe`` nearest
-    cells. Centroids are a broadcast list of literals."""
+    cells.
+
+    Centroids live in a BROADCAST DataFrame (not plan literals — at dim 1536
+    the literal form is n_cells*1536 constants). Cell assignment fans each
+    vector out to n_cells rows against the broadcast centroids and reduces
+    with max(struct(sim, cell)) — lexicographic max reproduces the previous
+    reverse-sorted (sim, cell) tie-break exactly. The corpus-side groupBy is
+    the one-off index-build shuffle; queries stay broadcast-only.
+    """
     seeds = [
         r[0]
         for r in corpus.select(vec_col)
@@ -152,33 +159,48 @@ def ivf_topk(
         .limit(n_cells)
         .collect()
     ]
-
-    def cell_ranks(vec, take: int):
-        sims = [
-            F.struct(
-                cosine_expr(vec, F.array(*[F.lit(float(x)) for x in s])).alias("sim"),
-                F.lit(i).alias("cell"),
-            )
-            for i, s in enumerate(seeds)
-        ]
-        return F.slice(F.reverse(F.array_sort(F.array(*sims))), 1, take)
-
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn(
-        "cell", cell_ranks(F.col("c_vec").cast("array<double>"), 1)[0]["cell"]
+    spark = corpus.sparkSession
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in s]) for i, s in enumerate(seeds)],
+            "cell int, cent array<double>",
+        )
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).select(
-        "query_id",
-        "q_vec",
-        F.explode(
-            F.transform(
-                cell_ranks(F.col("q_vec").cast("array<double>"), nprobe),
-                lambda s: s["cell"],
-            )
-        ).alias("cell"),
+
+    def with_cellsim(df: DataFrame, vname: str) -> DataFrame:
+        sim = cosine_expr(F.col(vname).cast("array<double>"), F.col("cent"))
+        return df.crossJoin(cents).select(*df.columns, "cell", sim.alias("sim"))
+
+    c = (
+        with_cellsim(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
+            "c_vec",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct("sim", "cell"))["cell"].alias("cell"),
+            F.first("c_vec").alias("c_vec"),
+        )
+    )
+    q = (
+        with_cellsim(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+            "q_vec",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.slice(
+                F.reverse(F.array_sort(F.collect_list(F.struct("sim", "cell")))),
+                1,
+                nprobe,
+            ).alias("probes"),
+            F.first("q_vec").alias("q_vec"),
+        )
+        .select(
+            "query_id",
+            "q_vec",
+            F.explode(F.transform("probes", lambda s: s["cell"])).alias("cell"),
+        )
     )
     scored = (
         q.join(c, "cell")

@@ -72,10 +72,14 @@ def _pair_score(a: Column, b: Column, taxonomy: dict[str, str]) -> Column:
 
     known = F.array(*[F.lit(k) for k in {*taxonomy, *taxonomy.values()}])
     pa, pb = parent_of(a), parent_of(b)
+    # Equality FIRST: two identical categories score 0.0 even when neither is
+    # in the taxonomy (reference checks same-category before unknown,
+    # src/taxonomy_feature.py:228 — conversations sharing the same unmapped
+    # tool are maximally similar, not maximally dissimilar).
     return (
-        F.when(~F.array_contains(known, a) | ~F.array_contains(known, b),
-               F.lit(SCORE_UNKNOWN))
-        .when(a == b, F.lit(SCORE_SAME))
+        F.when(a == b, F.lit(SCORE_SAME))
+        .when(~F.array_contains(known, a) | ~F.array_contains(known, b),
+              F.lit(SCORE_UNKNOWN))
         .when(pa.isNotNull() & (pa == pb), F.lit(SCORE_SIBLING))
         .when((pa == b) | (pb == a), F.lit(SCORE_PARENT_CHILD))
         .otherwise(F.lit(SCORE_DIFFERENT))

@@ -51,11 +51,20 @@ def build_entity_records(transcripts: DataFrame) -> DataFrame:
             ).alias("_turns"),
             F.count(F.lit(1)).alias("n_turns"),
             F.min("ts").alias("started_at"),
+            # Distinct tools used, sorted for determinism — the taxonomy
+            # feature's category set (reference derives categories from
+            # subject classification, src/taxonomy_feature.py:267-313; tools
+            # are the signal transcripts carry). Same groupBy, zero extra
+            # shuffle.
+            F.array_sort(
+                F.array_distinct(F.collect_list("tool"))
+            ).alias("categories"),
         )
         .select(
             "conv_id",
             "n_turns",
             "started_at",
+            "categories",
             F.array_join(
                 F.transform(F.col("_turns"), lambda t: t["text"]), "\n"
             ).alias("full_text"),

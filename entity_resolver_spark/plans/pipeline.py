@@ -3,11 +3,11 @@
 The reference's orchestrator runs an ordered stage list with a state tracker
 and per-stage checkpoints (/root/reference/src/orchestrating.py:70-84,
 src/checkpoint_manager.py:100-158). Here each stage is a DataFrame plan whose
-output commits to a Warehouse table; a resumed run skips completed stages
-(stage-level resume) and the scoring stage additionally skips already-scored
-pairs via a left_anti join against its committed output (pair-level resume,
-the analogue of the reference's processed_ids checkpoint,
-src/classifying.py:717).
+output commits to a Warehouse table; a resumed ``run()`` skips completed
+stages (stage-level resume). Pair-level resume — the analogue of the
+reference's processed_ids checkpoint (src/classifying.py:717) — lives in
+``run_incremental``, which left_anti-joins fresh candidate pairs against the
+committed pair set and scores only the difference.
 """
 
 from __future__ import annotations
@@ -127,12 +127,16 @@ class ResolutionPipeline:
         src/embedding_and_indexing.py:874-877) as set algebra:
 
           new pairs   = pairs(blocks(all)) involving >=1 new conv,
-                        minus already-scored pairs (left_anti)
+                        minus surviving already-scored pairs (left_anti)
           new scoring = features+scoring on the new pairs only
           clustering  = re-run on the full edge set (CC cost is proportional
                         to the sparse match graph, not the corpus)
 
-        Re-delivered conv_ids are replaced (latest wins).
+        Re-delivered conv_ids are replaced (latest wins) IN FULL: their old
+        pair rows and scores are retracted first, so every pair touching a
+        re-delivered conversation is re-blocked and re-scored against the new
+        text — stale edges from the previous delivery cannot leak into
+        clustering.
         """
         from entity_resolver_spark.operators.blocking import (
             all_blocks,
@@ -160,7 +164,14 @@ class ResolutionPipeline:
             "vectors", lambda: text_vectors(records, cfg), resume=False
         )
 
-        old_pairs = self.wh.read("pairs")
+        # Retract everything touching a re-delivered conv_id: pairs scored
+        # against the OLD text must not survive the union below, and block
+        # edges the new text no longer produces must disappear.
+        old_pairs = (
+            self.wh.read("pairs")
+            .join(new_ids.withColumnRenamed("conv_id", "left"), "left", "left_anti")
+            .join(new_ids.withColumnRenamed("conv_id", "right"), "right", "left_anti")
+        )
         blocks = split_hot_blocks(all_blocks(records, cfg), cfg)
         new_blocks = blocks.join(new_ids, "conv_id", "left_semi")
         touched = (
@@ -183,7 +194,11 @@ class ResolutionPipeline:
         fresh_pairs = self.wh.read("pairs_new")
         self.metrics.append({"stage": "pairs_incr", **stats})
 
-        old_scored = self.wh.read("scored")
+        old_scored = (
+            self.wh.read("scored")
+            .join(new_ids.withColumnRenamed("conv_id", "left"), "left", "left_anti")
+            .join(new_ids.withColumnRenamed("conv_id", "right"), "right", "left_anti")
+        )
         fresh_scored = score_pairs(
             pair_features(fresh_pairs, records, cfg, vectors=vectors), self.model
         )

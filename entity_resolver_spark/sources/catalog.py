@@ -69,9 +69,19 @@ class Warehouse:
             tmp = self._path(f"_tmp_{table}_{uuid.uuid4().hex[:8]}")
             with_pid.write.mode("overwrite").parquet(tmp)
             final = self._path(table)
+            # Two renames instead of rmtree-then-rename: the previously
+            # committed table is moved aside first, so a crash at any point
+            # leaves either the old or the new table in place (never neither);
+            # the stale `.old` copy is garbage, not state — exists() keys on
+            # the final path's _SUCCESS marker.
+            old = final + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
             if os.path.exists(final):
-                shutil.rmtree(final)
+                os.rename(final, old)
             os.rename(tmp, final)
+            if os.path.exists(old):
+                shutil.rmtree(old)
             committed = self.spark.read.parquet(final)
         lineage = (
             committed.groupBy("_pid")

@@ -84,3 +84,38 @@ def test_simhash_pairs(docs):
     assert (0, 1) in out and out[(0, 1)] == 0  # identical text -> identical fp
     assert (0, 4) in out and out[(0, 4)] == 0  # normalization-equal
     assert (0, 3) not in out
+
+
+def test_embedding_near_dup_lsh_matches_exact(spark):
+    """On clustered vectors (intra-cluster cosine ~0.99, cross <0.6) the
+    SRP-LSH candidate path must find exactly the pairs the exact cross-join
+    finds — near-identical vectors agree on every sign bit w.h.p., and the
+    fixed seed makes the outcome deterministic."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for c in range(10):
+        base = rng.normal(size=32)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + rng.normal(scale=0.02, size=32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    from entity_resolver_spark.operators.dedup import embedding_near_dup
+
+    exact = {
+        (r["left"], r["right"]): r["cos_sim"]
+        for r in embedding_near_dup(emb, threshold=0.9, exact=True).collect()
+    }
+    lsh = {
+        (r["left"], r["right"]): r["cos_sim"]
+        for r in embedding_near_dup(emb, threshold=0.9, exact=False).collect()
+    }
+    # 10 clusters x 3 members -> 30 intra-cluster pairs
+    assert len(exact) == 30
+    assert set(lsh) == set(exact)
+    for k, v in lsh.items():
+        assert v == pytest.approx(exact[k], abs=1e-12)

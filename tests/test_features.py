@@ -48,6 +48,23 @@ def test_identical_records_score_one(spark):
     assert row["year_match"] == pytest.approx(1.0)
 
 
+def test_broadcast_and_shuffle_join_paths_identical(spark, records):
+    """The auto-selected broadcast fast path and the 100-TB shuffled-join
+    path must produce identical feature rows (same pairs, same values)."""
+    cfg = EngineConfig()
+    pairs = candidate_pairs(records)
+    a = pair_features(pairs, records, cfg, broadcast_dims=True)
+    b = pair_features(pairs, records, cfg, broadcast_dims=False)
+    cols = ["left", "right", *cfg.feature_cols]
+    ra = sorted(a.select(*cols).collect(), key=lambda r: (r["left"], r["right"]))
+    rb = sorted(b.select(*cols).collect(), key=lambda r: (r["left"], r["right"]))
+    assert len(ra) == len(rb) and len(ra) > 0
+    for x, y in zip(ra, rb):
+        assert x["left"] == y["left"] and x["right"] == y["right"]
+        for c in cfg.feature_cols:
+            assert x[c] == pytest.approx(y[c], abs=1e-12), c
+
+
 def test_year_match_semantics(spark):
     cases = [
         # (bl, dl, br, dr, expected)

@@ -67,6 +67,41 @@ def test_registry_custom_features(spark):
     assert rows[0]["combo"] == 1.0 and rows[1]["combo"] == 1.0
 
 
+def test_registry_field_matrix(spark):
+    """X9 analogue: compatibility matrix on a categorical field pair +
+    multiply-composite to weight a similarity by it (the reference's
+    title_cosine x role_score shape, feature_engineering.py:1329-1389)."""
+    df = spark.createDataFrame(
+        [
+            ("author", "author", "abc", "abc"),
+            ("author", "editor", "abc", "abc"),
+            ("editor", "author", "abc", "abc"),  # symmetric lookup
+            ("author", "printer", "abc", "abc"),  # unlisted -> default
+        ],
+        ["l_role", "r_role", "l_title", "r_title"],
+    )
+    matrix = {"author": {"author": 1.0, "editor": 0.7}}
+    specs = [
+        {"name": "role_compat", "type": "field_matrix", "field": "role",
+         "matrix": matrix, "default": 0.3},
+        {"name": "title_role_adjusted", "type": "composite_feature",
+         "operation": "multiply",
+         "components": [
+             {"type": "field_levenshtein", "field": "title"},
+             {"type": "field_matrix", "field": "role", "matrix": matrix,
+              "default": 0.3},
+         ]},
+    ]
+    rows = df.select("l_role", "r_role", *build_features(specs)).collect()
+    got = {(r["l_role"], r["r_role"]): r for r in rows}
+    assert got[("author", "author")]["role_compat"] == 1.0
+    assert got[("author", "editor")]["role_compat"] == 0.7
+    assert got[("editor", "author")]["role_compat"] == 0.7
+    assert got[("author", "printer")]["role_compat"] == 0.3
+    # title lev sim is 1.0 on identical titles, so adjusted == compat
+    assert got[("author", "editor")]["title_role_adjusted"] == pytest.approx(0.7)
+
+
 def test_registry_substitution(spark):
     register_feature("field_match", lambda l, r, p: F.lit(0.42))
     df = spark.createDataFrame([("a", "a")], ["l_x", "r_x"])

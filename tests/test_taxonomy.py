@@ -35,6 +35,10 @@ def test_reference_expected_values(spark):
     assert _score(spark, ["search_catalog"], ["run_query"]) == pytest.approx(0.8)
     # unknown category
     assert _score(spark, ["search_catalog"], ["mystery_tool"]) == pytest.approx(0.9)
+    # IDENTICAL unmapped categories are same (0.0), not unknown — the
+    # reference checks equality before taxonomy membership
+    # (src/taxonomy_feature.py:228)
+    assert _score(spark, ["mystery_tool"], ["mystery_tool"]) == pytest.approx(0.0)
     # unmapped entity -> neutral
     assert _score(spark, [], ["search_catalog"]) == pytest.approx(0.5)
     assert _score(spark, None, ["search_catalog"]) == pytest.approx(0.5)
