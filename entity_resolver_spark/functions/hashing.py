@@ -140,20 +140,26 @@ def minhash_sig_expr(shingles: Column, n_hashes: int) -> Column:
     """MinHash signature of a shingle array as a PURE EXPRESSION — no explode,
     no shuffle. h_i(s) = xxhash64(s, i); element i = min over shingles.
 
-    This is the 100-TB-shape: the previous explode+groupBy form shuffled one
-    row per shingle (i.e. re-shuffled the whole corpus text to compute a
-    16-long sketch per record); this form is map-side only. Each signature
-    element is consumed exactly once by the band keys, so Catalyst's
-    per-consumer re-inlining of interpreted HOFs costs nothing here.
-    """
-    def hash_with(i: int):
-        # closure factory: a 2-arg lambda would be read as (element, index)
-        # by F.transform and the index would silently override the seed
-        return lambda s: F.xxhash64(s, F.lit(i))
+    This is the 100-TB-shape: the explode+groupBy form shuffled one row per
+    shingle (i.e. re-shuffled the whole corpus text to compute a 16-long
+    sketch per record); this form is map-side only.
 
-    return F.array(
-        *[F.array_min(F.transform(shingles, hash_with(i))) for i in range(n_hashes)]
-    )
+    Shape matters inside the expression too: ONE ``aggregate`` over the
+    shingle array computes all n hashes per element and folds elementwise
+    mins. The n-separate-``array_min(transform(...))`` form re-inlines the
+    shingle-window construction into every one of the n scans
+    (CollapseProject duplicates interpreted HOF inputs per consumer —
+    measured n x the work) and bloats the expression tree n-fold
+    (task-binary serialization + codegen compile cost).
+    """
+    max_long = (1 << 63) - 1
+    init = F.array(*[F.lit(max_long).cast("long") for _ in range(n_hashes)])
+
+    def step(acc: Column, s: Column) -> Column:
+        hs = F.array(*[F.xxhash64(s, F.lit(i)) for i in range(n_hashes)])
+        return F.zip_with(acc, hs, lambda a, h: F.least(a, h))
+
+    return F.aggregate(shingles, init, step)
 
 
 def minhash_signature(
@@ -167,19 +173,27 @@ def minhash_signature(
 
 def lsh_band_keys(sig: Column, n_hashes: int, bands: int) -> Column:
     """Split a MinHash signature into LSH bands; each band key is the hash of
-    its rows prefixed by the band index. Returns array<string> of band keys."""
+    its rows prefixed by the band index. Returns array<string> of band keys.
+
+    Built as one ``transform`` over band indices with ``slice(sig, ...)`` in
+    the lambda, so the expression tree references ``sig`` exactly ONCE.
+    Unrolling per-band (``sig[i]`` per element) re-inlines the whole upstream
+    signature aggregate per reference via CollapseProject — measured ~10x the
+    plan-analysis/codegen wall on the fused blocking projection.
+    """
     rows = n_hashes // bands
-    keys = [
-        F.concat_ws(
-            ":",
-            F.lit(f"b{b}"),
-            F.xxhash64(
-                F.concat_ws("_", *[sig[b * rows + r].cast("string") for r in range(rows)])
-            ).cast("string"),
+
+    def band_key(b: Column) -> Column:
+        parts = F.transform(
+            F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")
         )
-        for b in range(bands)
-    ]
-    return F.array(*keys)
+        return F.concat_ws(
+            ":",
+            F.concat(F.lit("b"), b.cast("string")),
+            F.xxhash64(F.concat_ws("_", parts)).cast("string"),
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
 
 
 def simhash_expr(tokens: Column, bits: int = 64) -> Column:

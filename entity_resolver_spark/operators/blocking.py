@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from entity_resolver_spark.config import EngineConfig
 from entity_resolver_spark.functions.hashing import (
     lsh_band_keys,
-    minhash_signature,
+    minhash_sig_expr,
     shingles_expr,
 )
 
@@ -46,19 +46,39 @@ def _sorted_name_key() -> F.Column:
     )
 
 
+def _named(key: F.Column) -> F.Column:
+    """NULL the key out for records without a usable name."""
+    return F.when(F.col("name_key") != "", key)
+
+
+def _exact_key_exprs() -> list[F.Column]:
+    """B1: exact normalized-name-hash key + sorted-token name key."""
+    plain = F.when(
+        F.col("name_hash").isNotNull(),
+        F.concat(F.lit("x:"), F.col("name_hash").cast("string")),
+    )
+    sorted_tok = _named(
+        F.concat(F.lit("t:"), F.xxhash64(_sorted_name_key()).cast("string"))
+    )
+    return [F.array(plain), F.array(sorted_tok)]
+
+
 def exact_blocks(records: DataFrame) -> DataFrame:
-    """B1: exact normalized-name-hash blocks + sorted-token name blocks."""
-    plain = records.select(
+    """B1 as standalone (conv_id, block_key) rows — audit/compat surface."""
+    return _explode_keys(records, _exact_key_exprs())
+
+
+def _explode_keys(records: DataFrame, key_arrays: list[F.Column]) -> DataFrame:
+    # concat() is NULL if ANY argument is NULL — a record with no name (whose
+    # name-pass arrays are NULL) must still keep its text-LSH keys, so every
+    # array is coalesced to empty first. (Regression: nameless records lost
+    # ALL blocks, silently dropping them from candidate generation.)
+    empty = F.array().cast("array<string>")
+    keys = F.concat(*[F.coalesce(arr, empty) for arr in key_arrays])
+    return records.select(
         "conv_id",
-        F.concat(F.lit("x:"), F.col("name_hash").cast("string")).alias("block_key"),
-    ).where(F.col("name_hash").isNotNull())
-    sorted_tok = records.select(
-        "conv_id",
-        F.concat(F.lit("t:"), F.xxhash64(_sorted_name_key()).cast("string")).alias(
-            "block_key"
-        ),
-    ).where(F.col("name_key") != "")
-    return plain.unionByName(sorted_tok)
+        F.explode(F.filter(keys, lambda k: k.isNotNull())).alias("block_key"),
+    )
 
 
 def sorted_neighborhood_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -95,24 +115,27 @@ def sorted_neighborhood_blocks(records: DataFrame, cfg: EngineConfig) -> DataFra
     return out
 
 
+def _minhash_text_keys(cfg: EngineConfig) -> F.Column:
+    """B3: banded-MinHash band keys over word shingles of the normalized
+    text, as one array expression (no explode/shuffle for the signature)."""
+    sh = shingles_expr(F.col("tokens"), cfg.shingle_k)
+    sig = minhash_sig_expr(sh, cfg.minhash_hashes)
+    keys = lsh_band_keys(sig, cfg.minhash_hashes, cfg.minhash_bands)
+    return F.transform(keys, lambda k: F.concat(F.lit("m"), k))
+
+
 def minhash_lsh_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """B3: banded-MinHash blocks over word shingles of the normalized text."""
-    with_shingles = records.select(
-        "conv_id", shingles_expr(F.col("tokens"), cfg.shingle_k).alias("_sh")
-    )
-    sig = minhash_signature(with_shingles, "conv_id", "_sh", cfg.minhash_hashes)
-    keys = lsh_band_keys(F.col("sig"), cfg.minhash_hashes, cfg.minhash_bands)
-    tagged = F.transform(keys, lambda k: F.concat(F.lit("m"), k))
-    return sig.select("conv_id", F.explode(tagged).alias("block_key"))
+    """B3 as standalone rows — audit/compat surface."""
+    return _explode_keys(records, [_minhash_text_keys(cfg)])
 
 
-def name_lsh_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """B4: banded-MinHash blocks over CHARACTER 3-grams of the token-sorted
-    name key. This is the direct analogue of the reference's ANN expansion
-    over *name-string* vectors (src/classifying.py:1663-1833 queries Weaviate
-    with person-name embeddings, not composite text): small name edits —
-    typos, diacritics, added initials — keep most char 3-grams, so the pair
-    survives blocking even when exact/SNM passes miss it."""
+def _name_lsh_keys(cfg: EngineConfig) -> F.Column:
+    """B4: banded-MinHash band keys over CHARACTER 3-grams of the
+    token-sorted name key. This is the direct analogue of the reference's ANN
+    expansion over *name-string* vectors (src/classifying.py:1663-1833
+    queries Weaviate with person-name embeddings, not composite text): small
+    name edits — typos, diacritics, added initials — keep most char 3-grams,
+    so the pair survives blocking even when exact/SNM passes miss it."""
     skey = _sorted_name_key()
     n = F.length(skey)
     grams = F.when(
@@ -121,20 +144,18 @@ def name_lsh_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
             F.sequence(F.lit(1), n - 2), lambda i: F.substring(skey, i, F.lit(3))
         ),
     ).otherwise(F.array(skey))
-    with_grams = records.where(F.col("name_key") != "").select(
-        "conv_id", grams.alias("_g")
-    )
-    sig = minhash_signature(with_grams, "conv_id", "_g", cfg.name_lsh_hashes)
-    keys = lsh_band_keys(F.col("sig"), cfg.name_lsh_hashes, cfg.name_lsh_bands)
+    sig = minhash_sig_expr(grams, cfg.name_lsh_hashes)
+    keys = lsh_band_keys(sig, cfg.name_lsh_hashes, cfg.name_lsh_bands)
     tagged = F.transform(keys, lambda k: F.concat(F.lit("g"), k))
-    return sig.select("conv_id", F.explode(tagged).alias("block_key"))
+    return F.when(F.col("name_key") != "", tagged)
 
 
-def initials_blocks(records: DataFrame) -> DataFrame:
-    """B5: initials-folded key — the longest name token (surname heuristic)
-    plus the sorted first letters of the remaining tokens. 'riemann charles'
-    and 'riemann c' both key to 'riemann|c'; catches initialisms that defeat
-    both exact and char-gram passes."""
+def name_lsh_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """B4 as standalone rows — audit/compat surface."""
+    return _explode_keys(records, [_name_lsh_keys(cfg)])
+
+
+def _surname_initials() -> tuple[F.Column, F.Column]:
     toks = F.filter(F.split(F.col("name_key"), r"\s+"), lambda t: t != "")
     longest = F.array_max(
         F.transform(toks, lambda t: F.struct(F.length(t).alias("l"), t.alias("t")))
@@ -148,51 +169,67 @@ def initials_blocks(records: DataFrame) -> DataFrame:
         ),
         "",
     )
-    key = F.concat(F.lit("i:"), F.xxhash64(F.concat_ws("|", longest, initials)).cast("string"))
-    return records.where(F.col("name_key") != "").select(
-        "conv_id", key.alias("block_key")
+    return longest, initials
+
+
+def _initials_key() -> F.Column:
+    """B5: initials-folded key — the longest name token (surname heuristic)
+    plus the sorted first letters of the remaining tokens. 'riemann charles'
+    and 'riemann c' both key to 'riemann|c'; catches initialisms that defeat
+    both exact and char-gram passes."""
+    longest, initials = _surname_initials()
+    return _named(
+        F.concat(
+            F.lit("i:"), F.xxhash64(F.concat_ws("|", longest, initials)).cast("string")
+        )
     )
 
 
-def soundex_blocks(records: DataFrame) -> DataFrame:
+def initials_blocks(records: DataFrame) -> DataFrame:
+    """B5 as standalone rows — audit/compat surface."""
+    return _explode_keys(records, [F.array(_initials_key())])
+
+
+def _soundex_key() -> F.Column:
     """B6: phonetic key — soundex of the longest name token (surname
     heuristic) + sorted initials of the rest. Catches typo'd surnames with
     simultaneously initialed/expanded given names ('noteher andrey' ~
     'noether a'), which defeat both char-gram LSH (shingle Jaccard ~0.25)
     and SNM ordering. Native ``F.soundex``; the reference gets this class of
     match from embedding ANN semantics."""
-    toks = F.filter(F.split(F.col("name_key"), r"\s+"), lambda t: t != "")
-    longest = F.array_max(
-        F.transform(toks, lambda t: F.struct(F.length(t).alias("l"), t.alias("t")))
-    )["t"]
-    initials = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.transform(toks, lambda t: F.when(t != longest, F.substring(t, 1, 1))),
-                lambda x: x.isNotNull(),
-            )
-        ),
-        "",
+    longest, initials = _surname_initials()
+    return _named(
+        F.concat(
+            F.lit("p:"),
+            F.xxhash64(F.concat_ws("|", F.soundex(longest), initials)).cast("string"),
+        )
     )
-    key = F.concat(
-        F.lit("p:"),
-        F.xxhash64(F.concat_ws("|", F.soundex(longest), initials)).cast("string"),
-    )
-    return records.where(F.col("name_key") != "").select(
-        "conv_id", key.alias("block_key")
-    )
+
+
+def soundex_blocks(records: DataFrame) -> DataFrame:
+    """B6 as standalone rows — audit/compat surface."""
+    return _explode_keys(records, [F.array(_soundex_key())])
 
 
 def all_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Union of all blocking passes: (conv_id, block_key)."""
-    return (
-        exact_blocks(records)
-        .unionByName(sorted_neighborhood_blocks(records, cfg))
-        .unionByName(minhash_lsh_blocks(records, cfg))
-        .unionByName(name_lsh_blocks(records, cfg))
-        .unionByName(initials_blocks(records))
-        .unionByName(soundex_blocks(records))
+    """Union of all blocking passes: (conv_id, block_key).
+
+    Every pass except sorted-neighborhood is a pure per-record expression, so
+    B1+B3+B4+B5+B6 fuse into ONE scan of records (one select, one explode) —
+    at 100 TB that is one pass over the corpus instead of five. SNM needs its
+    rank windows and stays a separate (unioned) plan.
+    """
+    fused = _explode_keys(
+        records,
+        [
+            *_exact_key_exprs(),
+            _minhash_text_keys(cfg),
+            _name_lsh_keys(cfg),
+            F.array(_initials_key()),
+            F.array(_soundex_key()),
+        ],
     )
+    return fused.unionByName(sorted_neighborhood_blocks(records, cfg))
 
 
 def split_hot_blocks(blocks: DataFrame, cfg: EngineConfig) -> DataFrame:

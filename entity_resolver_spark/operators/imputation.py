@@ -88,6 +88,95 @@ def impute_attribute(
     )
 
 
+def audit_attribute(
+    records: DataFrame,
+    vectors: DataFrame,
+    attr_table: DataFrame,
+    blocks: DataFrame,
+    attr_col: str = "attr",
+    min_similarity: float = 0.3,
+    min_margin: float = 2.0,
+    min_donors: int = 2,
+) -> DataFrame:
+    """Flag EXISTING attribute values that conflict with the neighborhood
+    vote — the other half of the reference's subject pipeline: where
+    ``impute_attribute`` fills missing values, this audits present ones
+    (/root/reference/src/subject_quality.py:209-296 evaluates each record's
+    current subjects against the weighted centroid of vector-similar records
+    and flags low-quality ones for remediation).
+
+    Same compute shape as imputation (blocked similarity join -> cosine-
+    weighted vote), same inputs. A record is flagged when the top-voted
+    alternative value beats the vote for its CURRENT value by
+    ``min_margin`` x with at least ``min_donors`` supporting neighbors.
+
+    Output: (conv_id, current, suggested, suggested_score, current_score,
+    n_donors) — flagged rows only.
+    """
+    have = attr_table.where(F.col(attr_col).isNotNull()).select(
+        F.col("conv_id"), F.col(attr_col).alias("current")
+    )
+    subjects = records.join(have, "conv_id").select("conv_id", "text_hash", "current")
+    donors = records.join(
+        attr_table.where(F.col(attr_col).isNotNull()), "conv_id"
+    ).select(
+        F.col("conv_id").alias("donor_id"),
+        F.col("text_hash").alias("donor_hash"),
+        F.col(attr_col),
+    )
+    sb = blocks.withColumnRenamed("conv_id", "s_id")
+    db = blocks.withColumnRenamed("conv_id", "donor_id")
+    cand = (
+        subjects.withColumnRenamed("conv_id", "s_id")
+        .join(sb, "s_id")
+        .join(db, "block_key")
+        .where(F.col("s_id") != F.col("donor_id"))
+        .select("s_id", "text_hash", "current", "donor_id")
+        .dropDuplicates(["s_id", "donor_id"])
+    )
+    vl = vectors.select(F.col("text_hash"), F.col("vector").alias("s_vec"))
+    vr = vectors.select(
+        F.col("text_hash").alias("donor_hash"), F.col("vector").alias("d_vec")
+    )
+    scored = (
+        cand.join(donors, "donor_id")
+        .join(vl, "text_hash")
+        .join(vr, "donor_hash")
+        .select(
+            "s_id",
+            "current",
+            attr_col,
+            sparse_cosine_expr(F.col("s_vec"), F.col("d_vec")).alias("sim"),
+        )
+        .where(F.col("sim") >= min_similarity)
+    )
+    votes = scored.groupBy("s_id", "current", attr_col).agg(
+        F.sum("sim").alias("score"), F.count(F.lit(1)).alias("n_donors")
+    )
+    w = Window.partitionBy("s_id").orderBy(F.desc("score"), F.asc(attr_col))
+    top = votes.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    own = votes.where(F.col(attr_col) == F.col("current")).select(
+        "s_id", F.col("score").alias("current_score")
+    )
+    flagged = (
+        top.join(own, "s_id", "left")
+        .withColumn("current_score", F.coalesce("current_score", F.lit(0.0)))
+        .where(
+            (F.col(attr_col) != F.col("current"))
+            & (F.col("n_donors") >= min_donors)
+            & (F.col("score") >= F.lit(min_margin) * F.col("current_score"))
+        )
+    )
+    return flagged.select(
+        F.col("s_id").alias("conv_id"),
+        "current",
+        F.col(attr_col).alias("suggested"),
+        F.col("score").alias("suggested_score"),
+        "current_score",
+        "n_donors",
+    )
+
+
 def impute_conversation_tools(
     transcripts: DataFrame, records: DataFrame, vectors: DataFrame, cfg: EngineConfig | None = None
 ) -> DataFrame:

@@ -28,13 +28,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def iceberg_available(spark: SparkSession) -> bool:
-    """True when an Iceberg catalog is configured on this session."""
+def iceberg_available(spark: SparkSession, catalog: str | None = None) -> bool:
+    """True when an Iceberg catalog is configured on this session — either in
+    the context SparkConf or (``catalog`` given) set at runtime on SQL conf."""
     try:
         confs = spark.sparkContext.getConf().getAll()
     except Exception:
-        return False
-    return any(k.startswith("spark.sql.catalog.") for k, _ in confs)
+        confs = []
+    if any(k.startswith("spark.sql.catalog.") for k, _ in confs):
+        return True
+    if catalog:
+        try:
+            return spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
+        except Exception:
+            return False
+    return False
 
 
 class Warehouse:
@@ -45,7 +53,7 @@ class Warehouse:
         self.spark = spark
         self.root = root
         self.namespace = namespace
-        self.use_iceberg = iceberg_available(spark)
+        self.use_iceberg = iceberg_available(spark, namespace.split(".")[0])
         if not self.use_iceberg:
             os.makedirs(root, exist_ok=True)
 

@@ -83,6 +83,26 @@ def main() -> None:
         for line in plan.splitlines():
             if "PushedFilters" in line or "ReadSchema" in line or "BroadcastHashJoin" in line.strip()[:40]:
                 print("      " + line.strip()[:160])
+
+    # Plan-size guard: ANN plans at embedding dim 1536 must NOT inline
+    # hyperplanes/centroids as literals (n_tables*n_bits*1536 constants broke
+    # codegen limits before they moved to broadcast DataFrames).
+    import numpy as np
+
+    from entity_resolver_spark.operators.similarity_search import ivf_topk, lsh_topk
+
+    rng = np.random.RandomState(0)
+    wide = spark.createDataFrame(
+        [(i, rng.normal(size=1536).tolist()) for i in range(64)],
+        "vec_id int, embedding array<double>",
+    )
+    for label, fn in (("lsh_topk", lsh_topk), ("ivf_topk", ivf_topk)):
+        plan = plan_of(fn(wide, wide.limit(4), k=3))
+        size_kb = len(plan) / 1024
+        ok = size_kb < 256
+        any_warn |= not ok
+        print(f"{'PASS' if ok else 'WARN'} {label}@dim1536: plan {size_kb:.0f} KiB "
+              f"({'broadcast planes/centroids' if ok else 'plan bloated — literals leaked back?'})")
     sys.exit(1 if any_warn else 0)
 
 

@@ -43,8 +43,13 @@ def run_control(cpus: int) -> float:
     return float(line.split()[1])
 
 
-def run(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+def run(cpus: int, sf_dir: str, n_entities: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_ENTITIES=str(n_entities),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -63,11 +68,18 @@ def main() -> None:
     # ~0.74 efficiency for ANY code (measured: python multiprocessing 2.96x
     # at 8->32; JVM map-only sha2 chains 3.46x at 4->16 vs 2.06x at 8->32).
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    # Scaling is measured in the WORK-BOUND regime: at the default bench
+    # corpus (2000 entities) the scoring segment finishes in ~2s at 4N and
+    # fixed per-pass costs (noop commit, Python worker spin-up, plan exec)
+    # dominate — efficiency of constants is meaningless. 8000 entities puts
+    # >15s of real scoring work at N, the same threshold the JVM control
+    # needs to reach its own ceiling.
+    n_entities = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "8000"))
     ctl_n = run_control(n)
     ctl_4n = run_control(4 * n)
     ctl_eff = (ctl_n / ctl_4n) / 4.0
-    r8 = run(n, sf_dir)
-    r32 = run(4 * n, sf_dir)
+    r8 = run(n, sf_dir, n_entities)
+    r32 = run(4 * n, sf_dir, n_entities)
     tp8 = r8["pairs_scored_per_sec"]
     tp32 = r32["pairs_scored_per_sec"]
     # scaling efficiency: speedup achieved / speedup available (4x)
@@ -82,12 +94,15 @@ def main() -> None:
 
 Generated {stamp} by `python scripts/run_scaling.py` on `{sf_dir}`
 (local mode; parallelism level stands in for executor count — no real
-cluster in this sandbox).
+cluster in this sandbox). ER corpus: {n_entities} synthetic entities
+({r32['er_records']} records, {r32['er_candidate_pairs']} candidate pairs) —
+larger than the default per-round bench corpus (2000) so the scoring
+segment is work-bound at N rather than dominated by fixed per-pass costs.
 
-| parallelism | end-to-end wall (s) | candidate pairs | pairs scored/sec |
-|---|---|---|---|
-| local[{n}]  (N)  | {r8['value']} | {r8['er_candidate_pairs']} | {tp8} |
-| local[{4 * n}] (4N) | {r32['value']} | {r32['er_candidate_pairs']} | {tp32} |
+| parallelism | end-to-end wall (s) | er_score wall (s) | candidate pairs | pairs scored/sec |
+|---|---|---|---|---|
+| local[{n}]  (N)  | {r8['value']} | {r8['queries']['er_score']} | {r8['er_candidate_pairs']} | {tp8} |
+| local[{4 * n}] (4N) | {r32['value']} | {r32['queries']['er_score']} | {r32['er_candidate_pairs']} | {tp32} |
 
 - **Pair-scoring throughput scaling efficiency (N->4N): {eff:.3f}**
   (= (tp_4N / tp_N) / 4; target >= 0.8 per BASELINE.json)

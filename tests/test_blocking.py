@@ -81,3 +81,28 @@ def test_golden_pair_blocks_together(spark):
         (r["left"], r["right"]) for r in candidate_pairs(recs).collect()
     }
     assert ("g1", "g2") in pairs
+
+
+def test_nameless_records_keep_text_blocks(spark):
+    """Records with NO name mention (name_key == '') must still receive
+    text-MinHash block keys — regression: NULL name-pass key arrays made the
+    fused concat NULL and silently dropped nameless records from blocking."""
+    from entity_resolver_spark.config import EngineConfig
+    from entity_resolver_spark.operators.blocking import all_blocks, candidate_pairs
+    from entity_resolver_spark.operators.transcripts import build_entity_records
+
+    body = "the same lowercase words repeated over and over again for blocking"
+    rows = [
+        ("n1", 0, "user", body, None, None),
+        ("n2", 0, "user", body + " extra", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    records = build_entity_records(df)
+    assert records.where(F.col("name_key") != "").count() == 0  # truly nameless
+    blocks = all_blocks(records, EngineConfig())
+    m_keys = blocks.where(F.col("block_key").startswith("m")).count()
+    assert m_keys > 0, "nameless records lost their text-LSH blocks"
+    pairs = candidate_pairs(records, EngineConfig()).collect()
+    assert {(r["left"], r["right"]) for r in pairs} == {("n1", "n2")}

@@ -8,7 +8,10 @@ from pyspark.sql import functions as F
 from entity_resolver_spark.config import EngineConfig
 from entity_resolver_spark.operators.blocking import all_blocks, split_hot_blocks
 from entity_resolver_spark.operators.features import text_vectors
-from entity_resolver_spark.operators.imputation import impute_attribute
+from entity_resolver_spark.operators.imputation import (
+    audit_attribute,
+    impute_attribute,
+)
 from entity_resolver_spark.operators.transcripts import build_entity_records
 
 
@@ -52,3 +55,45 @@ def test_impute_from_similar_records(spark):
     assert b2[0]["attr"] == "fetch_record"
     # records that already have the attribute are not re-imputed
     assert "a1" not in by_conv and "b1" not in by_conv
+
+
+def test_audit_flags_planted_bad_label(spark):
+    """Subject-quality audit (reference src/subject_quality.py:209-296):
+    a record whose existing label conflicts with the vote of its
+    text-similar neighborhood is flagged with the suggested replacement;
+    consistent records are not."""
+    rows = []
+    # five near-identical convs of one entity; a5 gets a WRONG label below
+    for cid, drop in (
+        ("a1", ""), ("a2", "vienna"), ("a3", "lieder"), ("a4", "piano"), ("a5", "opus")
+    ):
+        text = " ".join(
+            w for w in "symphony vienna lieder composition piano quartet sonata opus".split()
+            if w != drop
+        )
+        rows.append((cid, 0, "user", f"Schubert, Franz. {text}", None, None))
+        rows.append((cid, 1, "assistant", text, None, None))
+    # a distant entity with its own consistent label (must not be flagged)
+    for cid in ("b1", "b2"):
+        rows.append((cid, 0, "user", "Curie, Marie. radiation isotope decay laboratory", None, None))
+        rows.append((cid, 1, "assistant", "radiation isotope decay laboratory nobel", None, None))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    cfg = EngineConfig()
+    records = build_entity_records(df).cache()
+    vectors = text_vectors(records, cfg)
+    blocks = split_hot_blocks(all_blocks(records, cfg), cfg)
+    attrs = spark.createDataFrame(
+        [("a1", "search_catalog"), ("a2", "search_catalog"),
+         ("a3", "search_catalog"), ("a4", "search_catalog"),
+         ("a5", "exec_code"),  # planted bad label
+         ("b1", "fetch_record"), ("b2", "fetch_record")],
+        ["conv_id", "attr"],
+    )
+    flagged = {r["conv_id"]: r for r in audit_attribute(records, vectors, attrs, blocks).collect()}
+    assert set(flagged) == {"a5"}
+    assert flagged["a5"]["current"] == "exec_code"
+    assert flagged["a5"]["suggested"] == "search_catalog"
+    assert flagged["a5"]["n_donors"] == 4
+    assert flagged["a5"]["current_score"] == pytest.approx(0.0)
