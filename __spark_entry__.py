@@ -280,6 +280,38 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_subword_stats(spark, sf_dir):
+    """BPE-ish subword counting (letter/digit runs at ceil(len/4), punctuation
+    marks) — tokenizer-free token budgeting for training-data pipelines."""
+    from entity_resolver_spark.operators.text_analysis import (
+        bpe_ish_token_count_expr,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", bpe_ish_token_count_expr(F.col("text")).alias("n_sub"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sub").alias("total_subwords"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_lang_id_confusion(spark, sf_dir):
+    """Heuristic language-ID vs the table's lang column (confusion counts)."""
+    from entity_resolver_spark.operators.text_analysis import lang_id_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_expr(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
 def q_quality_buckets(spark, sf_dir):
     from entity_resolver_spark.operators.text_analysis import quality_score_expr
 
@@ -420,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "quality_buckets": q_quality_buckets,
+        "subword_stats": q_subword_stats,
+        "lang_id_confusion": q_lang_id_confusion,
         "ngram_dedup_verify": q_ngram_dedup_verify,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -547,6 +581,37 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
             ORDER BY query_id, rank
         """,
+        "subword_stats": r"""
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(coalesce(list_sum(list_transform(
+                       regexp_extract_all(text, '[a-zA-Z]+|\d+|[^\sa-zA-Z\d]'),
+                       p -> CAST(ceil(len(p) / 4.0) AS INT))), 0)) AS BIGINT)
+                       AS total_subwords
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "lang_id_confusion": r"""
+            WITH toks AS (
+                SELECT lang,
+                       list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), scored AS (
+                -- lexicographic max of (score, lang) structs == Spark's
+                -- array_max over the same structs (DuckDB greatest() lacks a
+                -- struct overload; sorted-list last element is equivalent)
+                SELECT lang, list_sort([
+                    struct_pack(score := len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','that','for','with'], x))), lang := 'en'),
+                    struct_pack(score := len(list_filter(t, x -> list_contains(['el','la','de','que','en','los','por','una'], x))), lang := 'es'),
+                    struct_pack(score := len(list_filter(t, x -> list_contains(['le','la','les','des','est','dans','une','pour'], x))), lang := 'fr'),
+                    struct_pack(score := len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))), lang := 'de')
+                ])[4] AS best
+                FROM toks
+            )
+            SELECT lang,
+                   CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+                   count(*) AS n_docs
+            FROM scored GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+        """,
         "embedding_near_dup": """
             SELECT a.vec_id AS left, b.vec_id AS right,
                    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -626,21 +691,23 @@ def oracle_sql() -> dict[str, str]:
             ), named AS (
                 SELECT conv_id, n_turns, first_turn,
                        regexp_extract(first_turn,
-                           '^((?:\p{Lu}[\p{L}\p{M}'']*\.?|\d{3,4}|b\.|d\.|ca\.|fl\.|born|died|circa|approximately|[,()\-–]|\s)+)',
+                           '^((?:\p{Lu}[\p{L}\p{M}'']*\.?|\d{3,4}|b\.|d\.|ca\.|fl\.|born|died|circa|approximately|[,()\-–—]|\s)+)',
                            1) AS name_raw
                 FROM convs
             )
             SELECT conv_id, n_turns, first_turn, name_raw,
                    CAST(nullif(coalesce(
-                       nullif(regexp_extract(name_raw, '(\d{3,4})\s*[-–]\s*(?:ca\.?\s*|approximately\s*|circa\s*)?(\d{3,4})', 1), ''),
-                       nullif(regexp_extract(name_raw, '(?:\bb\.?\s*|\bborn\s+)(\d{3,4})', 1), ''),
-                       nullif(regexp_extract(name_raw, '(\d{3,4})\s*[-–]\s*$', 1), ''),
-                       nullif(regexp_extract(name_raw, '(?:\bca\.?\s*|\bcirca\s*|\bapproximately\s*)(\d{3,4})', 1), '')
+                       nullif(regexp_extract(name_raw, '(?:\b(?:ca\.?\s*|circa\s*|approximately\s*))?(\d{3,4})\??\s*[-–—]\s*(?:(?:ca\.?\s*|circa\s*|approximately\s*))?(\d{3,4})\??', 1), ''),
+                       nullif(regexp_extract(name_raw, '(?:\bb\.?\s*|\bborn\s+)(?:(?:ca\.?\s*|circa\s*|approximately\s*))?(\d{3,4})\??', 1), ''),
+                       nullif(regexp_extract(name_raw, '(\d{3,4})\??\s*[-–—]\s*$', 1), ''),
+                       CASE WHEN regexp_extract(name_raw, '(?:\bd\.?\s*|\bdied\s+)(?:(?:ca\.?\s*|circa\s*|approximately\s*))?(\d{3,4})\??', 1) = ''
+                            THEN nullif(regexp_extract(name_raw, '\b(?:ca\.?\s*|circa\s*|approximately\s*)(\d{3,4})\??', 1), '')
+                       END
                    ), '') AS INT) AS birth_year,
                    CAST(nullif(coalesce(
-                       nullif(regexp_extract(name_raw, '(\d{3,4})\s*[-–]\s*(?:ca\.?\s*|approximately\s*|circa\s*)?(\d{3,4})', 2), ''),
-                       nullif(regexp_extract(name_raw, '(?:\bd\.?\s*|\bdied\s+)(\d{3,4})', 1), ''),
-                       nullif(regexp_extract(name_raw, '^\s*[-–]\s*(\d{3,4})', 1), '')
+                       nullif(regexp_extract(name_raw, '(?:\b(?:ca\.?\s*|circa\s*|approximately\s*))?(\d{3,4})\??\s*[-–—]\s*(?:(?:ca\.?\s*|circa\s*|approximately\s*))?(\d{3,4})\??', 2), ''),
+                       nullif(regexp_extract(name_raw, '(?:\bd\.?\s*|\bdied\s+)(?:(?:ca\.?\s*|circa\s*|approximately\s*))?(\d{3,4})\??', 1), ''),
+                       nullif(regexp_extract(name_raw, '^\s*[-–—]\s*(?:(?:ca\.?\s*|circa\s*|approximately\s*))?(\d{3,4})\??', 1), '')
                    ), '') AS INT) AS death_year
             FROM named ORDER BY conv_id
         """,

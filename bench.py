@@ -76,13 +76,19 @@ def main() -> None:
         max(cpus, 8)
     )
 
+    # Stage outputs are materialized with localCheckpoint — the in-memory
+    # equivalent of the pipeline's parquet stage tables. persist() alone
+    # keeps the full LOGICAL lineage, and Catalyst re-analyzes that whole
+    # tree (the fused blocking expression is several seconds of driver-side
+    # analysis) on EVERY downstream action — a fixed serial cost that
+    # swamped the per-pass scoring measurement at any parallelism.
     t0 = time.monotonic()
-    records = build_entity_records(transcripts).persist()
+    records = build_entity_records(transcripts).localCheckpoint()
     n_records = records.count()
     timings["er_normalize"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
-    pairs = candidate_pairs(records).persist()
+    pairs = candidate_pairs(records).localCheckpoint()
     n_pairs = pairs.count()
     timings["er_blocking"] = round(time.monotonic() - t0, 3)
 
@@ -92,7 +98,7 @@ def main() -> None:
     from entity_resolver_spark.operators.features import text_vectors
 
     t0 = time.monotonic()
-    vectors = text_vectors(records, EngineConfig()).persist()
+    vectors = text_vectors(records, EngineConfig()).localCheckpoint()
     vectors.count()
     timings["er_vectors"] = round(time.monotonic() - t0, 3)
 
@@ -105,7 +111,7 @@ def main() -> None:
     )
 
     t0 = time.monotonic()
-    inputs = pair_inputs(pairs, records, vectors=vectors).persist()
+    inputs = pair_inputs(pairs, records, vectors=vectors).localCheckpoint()
     inputs.count()
     timings["er_pair_inputs"] = round(time.monotonic() - t0, 3)
 

@@ -137,21 +137,12 @@ def shingles_expr(tokens: Column, k: int) -> Column:
 
 
 def minhash_sig_expr(shingles: Column, n_hashes: int) -> Column:
-    """MinHash signature of a shingle array as a PURE EXPRESSION — no explode,
-    no shuffle. h_i(s) = xxhash64(s, i); element i = min over shingles.
-
-    This is the 100-TB-shape: the explode+groupBy form shuffled one row per
-    shingle (i.e. re-shuffled the whole corpus text to compute a 16-long
-    sketch per record); this form is map-side only.
-
-    Shape matters inside the expression too: ONE ``aggregate`` over the
-    shingle array computes all n hashes per element and folds elementwise
-    mins. The n-separate-``array_min(transform(...))`` form re-inlines the
-    shingle-window construction into every one of the n scans
-    (CollapseProject duplicates interpreted HOF inputs per consumer —
-    measured n x the work) and bloats the expression tree n-fold
-    (task-binary serialization + codegen compile cost).
-    """
+    """MinHash signature of a shingle array as a PURE EXPRESSION (one
+    ``aggregate`` computing all n hashes per element, folding elementwise
+    mins). No shuffle — but the fold is INTERPRETED, not codegen'd: measured
+    ~10x slower per element than the explode+groupBy form below. Use this
+    only where introducing a shuffle is genuinely worse than the CPU trade
+    (e.g. inside streaming stateless maps)."""
     max_long = (1 << 63) - 1
     init = F.array(*[F.lit(max_long).cast("long") for _ in range(n_hashes)])
 
@@ -165,9 +156,24 @@ def minhash_sig_expr(shingles: Column, n_hashes: int) -> Column:
 def minhash_signature(
     df: DataFrame, id_col: str, shingles_col: str, n_hashes: int
 ) -> DataFrame:
-    """(id, shingles) -> (id, sig array<long>[n_hashes]); see minhash_sig_expr."""
-    return df.select(
-        F.col(id_col), minhash_sig_expr(F.col(shingles_col), n_hashes).alias("sig")
+    """(id, shingles) -> (id, sig array<long>[n_hashes]).
+
+    explode + groupBy with n_hashes min-aggregates — the 100-TB shape AND the
+    fast local shape: every hash runs inside whole-stage codegen, and because
+    min() partial-aggregates map-side, the shuffle carries one partially
+    reduced row per (mapper, id) — the corpus text itself never shuffles.
+    (The HOF-aggregate form above avoids the shuffle but evaluates
+    interpreted — measured ~10x slower per shingle.)
+    """
+    exploded = df.select(F.col(id_col), F.explode(F.col(shingles_col)).alias("_s"))
+    aggs = [
+        F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"),
     )
 
 

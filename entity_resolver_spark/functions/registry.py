@@ -90,6 +90,25 @@ def _weighted_field_similarity(l: str, r: str, p: dict) -> Column:
     return total / F.lit(wsum)
 
 
+def _field_low_indicator(l: str, r: str, p: dict) -> Column:
+    """Binary low-similarity indicator: 1.0 iff the chosen metric on a field
+    pair falls below ``threshold`` — the reference's X7
+    person_low_{levenshtein,jaro_winkler,cosine}_indicator family
+    (src/feature_engineering.py:841-883,951-1070; thresholds
+    config.yml:303-309: levenshtein 0.60, jaro_winkler 0.90, cosine 0.80).
+    params: field, metric ('levenshtein'|'jaro_winkler'), threshold."""
+    f = p["field"]
+    metric = p.get("metric", "levenshtein")
+    a, b = F.col(f"{l}{f}"), F.col(f"{r}{f}")
+    if metric == "levenshtein":
+        sim = levenshtein_sim_expr(a, b)
+    elif metric == "jaro_winkler":
+        sim = jaro_winkler_pudf(a, b)
+    else:
+        raise ValueError(f"unknown low-indicator metric: {metric}")
+    return (sim < F.lit(float(p["threshold"]))).cast("double")
+
+
 def _field_matrix(l: str, r: str, p: dict) -> Column:
     """Compatibility-matrix lookup on a categorical field pair — the analogue
     of the reference's role-compatibility matrix (X9: title_role_adjusted,
@@ -145,5 +164,6 @@ register_feature("field_match", _field_match)
 register_feature("field_levenshtein", _field_levenshtein)
 register_feature("field_jaro_winkler", _field_jaro_winkler)
 register_feature("weighted_field_similarity", _weighted_field_similarity)
+register_feature("field_low_indicator", _field_low_indicator)
 register_feature("field_matrix", _field_matrix)
 register_feature("composite_feature", _composite)

@@ -15,18 +15,25 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_Y = r"(\d{3,4})"
+# Year with optional uncertainty marker "1797?" (reference accepts it and
+# cleans to digits, src/birth_death_regexes.py:28-73,140-166); the capture
+# group excludes the "?". 3-4 digits deliberately (the reference allows 2 —
+# in transcript text 2-digit numbers are mostly not years).
+_Y = r"(\d{3,4})\??"
+# All three dash forms the reference accepts: hyphen, en-dash, em-dash.
+_D = r"[-–—]"
+_CA = r"(?:ca\.?\s*|circa\s*|approximately\s*)"
 
-# Range forms: "1797-1828", "1797 - 1828", "ca. 1797-approximately 1828".
-_RANGE = rf"{_Y}\s*[-–]\s*(?:ca\.?\s*|approximately\s*|circa\s*)?{_Y}"
-# Open-ended birth: "1797-", "b. 1797", "born 1797".
-_BIRTH_OPEN = rf"{_Y}\s*[-–]\s*$"
-_BIRTH_MARK = rf"(?:\bb\.?\s*|\bborn\s+){_Y}"
-# Open-ended death: "-1828", "d. 1828", "died 1828".
-_DEATH_OPEN = rf"^\s*[-–]\s*{_Y}"
-_DEATH_MARK = rf"(?:\bd\.?\s*|\bdied\s+){_Y}"
+# Range forms: "1797-1828", "1797 - 1828", "ca. 1797—approximately 1828".
+_RANGE = rf"(?:\b{_CA})?{_Y}\s*{_D}\s*(?:{_CA})?{_Y}"
+# Open-ended birth: "1797-", "b. 1797", "born ca. 1797".
+_BIRTH_OPEN = rf"{_Y}\s*{_D}\s*$"
+_BIRTH_MARK = rf"(?:\bb\.?\s*|\bborn\s+)(?:{_CA})?{_Y}"
+# Open-ended death: "-1828", "d. 1828", "died approximately 1828".
+_DEATH_OPEN = rf"^\s*{_D}\s*(?:{_CA})?{_Y}"
+_DEATH_MARK = rf"(?:\bd\.?\s*|\bdied\s+)(?:{_CA})?{_Y}"
 # Approximate single year: "ca. 1797", "circa 1797", "approximately 1797".
-_APPROX = rf"(?:\bca\.?\s*|\bcirca\s*|\bapproximately\s*){_Y}"
+_APPROX = rf"\b{_CA}{_Y}"
 
 
 def _to_year(c: Column) -> Column:
@@ -38,7 +45,14 @@ def birth_year_expr(col: Column | str) -> Column:
     rng = _to_year(F.regexp_extract(c, _RANGE, 1))
     mark = _to_year(F.regexp_extract(c, _BIRTH_MARK, 1))
     open_ = _to_year(F.regexp_extract(c, _BIRTH_OPEN, 1))
-    approx = _to_year(F.regexp_extract(c, _APPROX, 1))
+    # The bare-approx fallback ("circa 1851" -> birth) must not claim a year
+    # an explicit death marker owns ("died circa 1851") — the reference
+    # checks the b./d. markers before its pattern cascade
+    # (src/birth_death_regexes.py:93-107).
+    approx = F.when(
+        F.regexp_extract(c, _DEATH_MARK, 1) == "",
+        _to_year(F.regexp_extract(c, _APPROX, 1)),
+    )
     return F.coalesce(rng, mark, open_, approx)
 
 

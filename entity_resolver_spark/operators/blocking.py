@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from entity_resolver_spark.config import EngineConfig
 from entity_resolver_spark.functions.hashing import (
     lsh_band_keys,
-    minhash_sig_expr,
+    minhash_signature,
     shingles_expr,
 )
 
@@ -115,27 +115,26 @@ def sorted_neighborhood_blocks(records: DataFrame, cfg: EngineConfig) -> DataFra
     return out
 
 
-def _minhash_text_keys(cfg: EngineConfig) -> F.Column:
-    """B3: banded-MinHash band keys over word shingles of the normalized
-    text, as one array expression (no explode/shuffle for the signature)."""
-    sh = shingles_expr(F.col("tokens"), cfg.shingle_k)
-    sig = minhash_sig_expr(sh, cfg.minhash_hashes)
-    keys = lsh_band_keys(sig, cfg.minhash_hashes, cfg.minhash_bands)
-    return F.transform(keys, lambda k: F.concat(F.lit("m"), k))
-
-
 def minhash_lsh_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """B3 as standalone rows — audit/compat surface."""
-    return _explode_keys(records, [_minhash_text_keys(cfg)])
+    """B3: banded-MinHash blocks over word shingles of the normalized text.
+    Signature via explode+groupBy (codegen'd hashes; partial aggregation
+    keeps the shuffle to one reduced row per (mapper, record))."""
+    with_shingles = records.select(
+        "conv_id", shingles_expr(F.col("tokens"), cfg.shingle_k).alias("_sh")
+    )
+    sig = minhash_signature(with_shingles, "conv_id", "_sh", cfg.minhash_hashes)
+    keys = lsh_band_keys(F.col("sig"), cfg.minhash_hashes, cfg.minhash_bands)
+    tagged = F.transform(keys, lambda k: F.concat(F.lit("m"), k))
+    return sig.select("conv_id", F.explode(tagged).alias("block_key"))
 
 
-def _name_lsh_keys(cfg: EngineConfig) -> F.Column:
-    """B4: banded-MinHash band keys over CHARACTER 3-grams of the
-    token-sorted name key. This is the direct analogue of the reference's ANN
-    expansion over *name-string* vectors (src/classifying.py:1663-1833
-    queries Weaviate with person-name embeddings, not composite text): small
-    name edits — typos, diacritics, added initials — keep most char 3-grams,
-    so the pair survives blocking even when exact/SNM passes miss it."""
+def name_lsh_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """B4: banded-MinHash blocks over CHARACTER 3-grams of the token-sorted
+    name key. This is the direct analogue of the reference's ANN expansion
+    over *name-string* vectors (src/classifying.py:1663-1833 queries Weaviate
+    with person-name embeddings, not composite text): small name edits —
+    typos, diacritics, added initials — keep most char 3-grams, so the pair
+    survives blocking even when exact/SNM passes miss it."""
     skey = _sorted_name_key()
     n = F.length(skey)
     grams = F.when(
@@ -144,15 +143,13 @@ def _name_lsh_keys(cfg: EngineConfig) -> F.Column:
             F.sequence(F.lit(1), n - 2), lambda i: F.substring(skey, i, F.lit(3))
         ),
     ).otherwise(F.array(skey))
-    sig = minhash_sig_expr(grams, cfg.name_lsh_hashes)
-    keys = lsh_band_keys(sig, cfg.name_lsh_hashes, cfg.name_lsh_bands)
+    with_grams = records.where(F.col("name_key") != "").select(
+        "conv_id", grams.alias("_g")
+    )
+    sig = minhash_signature(with_grams, "conv_id", "_g", cfg.name_lsh_hashes)
+    keys = lsh_band_keys(F.col("sig"), cfg.name_lsh_hashes, cfg.name_lsh_bands)
     tagged = F.transform(keys, lambda k: F.concat(F.lit("g"), k))
-    return F.when(F.col("name_key") != "", tagged)
-
-
-def name_lsh_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """B4 as standalone rows — audit/compat surface."""
-    return _explode_keys(records, [_name_lsh_keys(cfg)])
+    return sig.select("conv_id", F.explode(tagged).alias("block_key"))
 
 
 def _surname_initials() -> tuple[F.Column, F.Column]:
@@ -214,42 +211,51 @@ def soundex_blocks(records: DataFrame) -> DataFrame:
 def all_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Union of all blocking passes: (conv_id, block_key).
 
-    Every pass except sorted-neighborhood is a pure per-record expression, so
-    B1+B3+B4+B5+B6 fuse into ONE scan of records (one select, one explode) —
-    at 100 TB that is one pass over the corpus instead of five. SNM needs its
-    rank windows and stays a separate (unioned) plan.
+    The cheap per-record passes (exact, initials, soundex) fuse into ONE scan
+    of records (one select, one explode). The two MinHash-LSH passes go
+    through explode+groupBy signatures (codegen'd; partial aggregation keeps
+    their shuffles to one reduced row per mapper x record — the corpus text
+    never shuffles), and SNM keeps its rank windows. Four branches total.
     """
     fused = _explode_keys(
         records,
         [
             *_exact_key_exprs(),
-            _minhash_text_keys(cfg),
-            _name_lsh_keys(cfg),
             F.array(_initials_key()),
             F.array(_soundex_key()),
         ],
     )
-    return fused.unionByName(sorted_neighborhood_blocks(records, cfg))
+    return (
+        fused.unionByName(sorted_neighborhood_blocks(records, cfg))
+        .unionByName(minhash_lsh_blocks(records, cfg))
+        .unionByName(name_lsh_blocks(records, cfg))
+    )
 
 
 def split_hot_blocks(blocks: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Skew guard: split blocks larger than max_block_size into salted
     sub-blocks via a deterministic hash of the member id. AQE handles moderate
     skew at join time; this bounds the *algorithmic* quadratic pair blow-up of
-    pathological blocks (e.g. an empty-text shingle bucket)."""
-    sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("_n"))
+    pathological blocks (e.g. an empty-text shingle bucket).
+
+    Sizes come from a count Window over block_key — ONE shuffle and one
+    evaluation of the (expensive) upstream blocks plan, where the previous
+    groupBy-sizes + join-back evaluated it twice.
+    """
     cap = cfg.max_block_size
-    with_sizes = blocks.join(sizes, "block_key")
-    n_salts = F.ceil(F.col("_n") / cap)
+    n = F.count(F.lit(1)).over(Window.partitionBy("block_key"))
     salted_key = F.when(
-        F.col("_n") > cap,
-        F.concat_ws("#", F.col("block_key"),
-                    F.pmod(F.xxhash64("conv_id"), n_salts).cast("string")),
+        n > cap,
+        F.concat_ws(
+            "#",
+            F.col("block_key"),
+            F.pmod(F.xxhash64("conv_id"), F.ceil(n / cap)).cast("string"),
+        ),
     ).otherwise(F.col("block_key"))
-    return with_sizes.select("conv_id", salted_key.alias("block_key"))
+    return blocks.select("conv_id", salted_key.alias("block_key"))
 
 
-def pairs_from_blocks(blocks: DataFrame) -> DataFrame:
+def pairs_from_blocks(blocks: DataFrame, materialize: bool = True) -> DataFrame:
     """Canonicalized candidate pairs from (conv_id, block_key) rows.
 
     One self-equi-join on block_key; `<` ordering both de-duplicates within a
@@ -257,7 +263,15 @@ def pairs_from_blocks(blocks: DataFrame) -> DataFrame:
     src/classifying.py:1108-1130). dropDuplicates collapses pairs found by
     multiple passes — the reference unions within-group and cross-group pair
     sets the same way (src/classifying.py:1089-1130).
+
+    ``materialize`` (default) cuts the input's lineage with an eager
+    localCheckpoint before the self-join: the block rows are tiny, but their
+    PLAN is the whole multi-pass key computation — without the cut the join
+    evaluates it once per side, and every downstream action re-analyzes the
+    giant expression tree on the driver.
     """
+    if materialize:
+        blocks = blocks.localCheckpoint()
     a = blocks.alias("a")
     b = blocks.alias("b")
     return (

@@ -2,10 +2,11 @@
 
 The reference computes per-pair features in 200-pair Python chunks with
 per-pair vector fetches (/root/reference/src/classifying.py:1157-1234,
-src/feature_engineering.py:1822-1924). Here the whole battery is ONE ``select``
-over the pairs joined twice to the per-record attribute table — every feature
-is either a native column expression or an Arrow-batched pandas UDF; there is
-no per-row Python and no point lookups.
+src/feature_engineering.py:1822-1924). Here the battery is TWO selects —
+``pair_inputs`` (the join + the wide-input features, materialized once per
+corpus) and ``features_from_inputs`` (compact-input features, per scoring
+pass) — every feature a native column expression or an Arrow-batched pandas
+UDF; there is no per-row Python and no point lookups.
 
 Feature set (analogue of the reference's enabled set, config.yml:276-290):
   name_jw            — Jaro-Winkler on name keys (X6/F4)
@@ -80,16 +81,23 @@ def pair_inputs(
     vectors: DataFrame | None = None,
     broadcast_dims: bool | None = None,
 ) -> DataFrame:
-    """The join half of pair featurization: pairs ⋈ side(L) ⋈ side(R).
+    """The heavy half of pair featurization: pairs ⋈ side(L) ⋈ side(R), plus
+    the features whose INPUTS are wide — text cosine (sparse vectors) and
+    taxonomy dissimilarity (category arrays) — computed here so the stage
+    table the pipeline materializes carries one double each instead of the
+    vectors/arrays themselves. Downstream scoring then scans compact rows:
+    at 100 TB, threshold sweeps and model retrains re-read this table many
+    times and must not re-ship the vector payload each pass (measured: the
+    wide-row cache scan was 44% of the scoring wall).
 
-    Split from ``features_from_inputs`` so pipelines can materialize the
-    joined inputs as a stage table and run scoring as a pure map — the
-    broadcast hash-table build is paid once per stage, not once per query.
+    Split from ``features_from_inputs`` so pipelines can materialize these
+    joined+reduced inputs as a stage table — the join build and the
+    vector-consuming UDF are paid once per corpus, not once per scoring pass.
 
     Join strategy (``broadcast_dims=None`` auto-selects, the default):
     * broadcast — while the per-record side fits executor memory
       (<= cfg.broadcast_max_records, ~1 KB/record), broadcasting it makes
-      scoring MAP-ONLY over the pairs partitions: zero shuffle of the wide
+      this stage MAP-ONLY over the pairs partitions: zero shuffle of the wide
       pair rows. Catalyst won't pick this itself — it over-estimates the
       map<int,double> column and plans sort-merge, which shuffles
       |pairs| x ~1KB rows twice (measured: that shuffle dominated scoring).
@@ -118,36 +126,19 @@ def pair_inputs(
         pairs.join(side.alias("L"), F.col("left") == F.col("L.conv_id"))
         .join(side.alias("R"), F.col("right") == F.col("R.conv_id"))
     )
-    keep = ["left", "right"]
-    for tag in ("L", "R"):
-        p = tag.lower()
-        keep += [
-            F.col(f"{tag}.{c}").alias(f"{p}_{c}")
-            for c in [*_SIDE_COLS, "vector"]
-            if c != "conv_id"
-        ]
-    return df.select(*keep)
-
-
-def features_from_inputs(df: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
-    """The expression half: joined inputs -> feature columns (map-only)."""
-    cfg = cfg or EngineConfig()
 
     def L(c: str):
-        return F.col(f"l_{c}")
+        return F.col(f"L.{c}")
 
     def R(c: str):
-        return F.col(f"r_{c}")
+        return F.col(f"R.{c}")
 
-    name_jw = jaro_winkler_pudf(L("name_key"), R("name_key"))
-    name_lev = levenshtein_sim_expr(L("name_key"), R("name_key"))
     # Identical-hash short-circuit (the reference returns 1.0 on identical
     # hashes before touching vectors, src/feature_engineering.py:905-915) and
-    # the reference's 0.5 missing-vector fallback (:930-948).
-    # Cosine runs in the same ArrowEvalPython stage as Jaro-Winkler — one
-    # Python round-trip computes both, each exactly once per row (the native
-    # map_zip_with form is re-inlined per consumer by projection collapse
-    # and its per-row map allocations GC-bound the executors).
+    # the reference's 0.5 missing-vector fallback (:930-948). The UDF is
+    # Arrow-batched and numpy-vectorized; the native map_zip_with form is
+    # re-inlined per consumer by projection collapse and its per-row map
+    # allocations GC-bound the executors.
     text_cos = F.when(L("text_hash") == R("text_hash"), F.lit(1.0)).otherwise(
         F.coalesce(
             sparse_cosine_pudf(
@@ -157,10 +148,46 @@ def features_from_inputs(df: DataFrame, cfg: EngineConfig | None = None) -> Data
             F.lit(0.5),
         )
     )
+    return df.select(
+        "left",
+        "right",
+        L("name_key").alias("l_name_key"),
+        R("name_key").alias("r_name_key"),
+        L("birth_year").alias("l_birth_year"),
+        L("death_year").alias("l_death_year"),
+        R("birth_year").alias("r_birth_year"),
+        R("death_year").alias("r_death_year"),
+        text_cos.alias("text_cosine"),
+        # X5: min dissimilarity over the tool-category cross product — the
+        # reference's enabled feature set includes it (config.yml:276-290,
+        # scored at src/taxonomy_feature.py:204-313). Native expression over
+        # the two small category arrays; taxonomy is broadcast literals.
+        taxonomy_dissimilarity_expr(L("categories"), R("categories")).alias(
+            "taxonomy_dissimilarity"
+        ),
+    )
+
+
+def features_from_inputs(df: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """The light half: compact inputs -> full feature battery (map-only).
+
+    Jaro-Winkler (Arrow-batched UDF over the short name keys) and the native
+    arithmetic run here, per scoring pass; the wide-input features arrive
+    precomputed in ``df`` (see ``pair_inputs``).
+    """
+    cfg = cfg or EngineConfig()
+
+    def L(c: str):
+        return F.col(f"l_{c}")
+
+    def R(c: str):
+        return F.col(f"r_{c}")
+
     df = (
-        df.withColumn("name_jw", name_jw)
-        .withColumn("name_lev_sim", name_lev)
-        .withColumn("text_cosine", text_cos)
+        df.withColumn("name_jw", jaro_winkler_pudf(L("name_key"), R("name_key")))
+        .withColumn(
+            "name_lev_sim", levenshtein_sim_expr(L("name_key"), R("name_key"))
+        )
     )
     # Low-similarity indicator (reference X7 person_low_cosine_indicator,
     # src/feature_engineering.py:951-1070, thresholds config.yml:303-309):
@@ -184,12 +211,5 @@ def features_from_inputs(df: DataFrame, cfg: EngineConfig | None = None) -> Data
             L("birth_year"), L("death_year"), R("birth_year"), R("death_year"),
             cfg.year_tolerance,
         ),
-    ).withColumn(
-        # X5: min dissimilarity over the tool-category cross product — the
-        # reference's enabled feature set includes it (config.yml:276-290,
-        # scored at src/taxonomy_feature.py:204-313). Native expression over
-        # the two small category arrays; taxonomy is broadcast literals.
-        "taxonomy_dissimilarity",
-        taxonomy_dissimilarity_expr(L("categories"), R("categories")),
     )
     return df.select("left", "right", *cfg.feature_cols)

@@ -106,6 +106,74 @@ def extract_features(
     return media.mapInPandas(op, schema=_FEATURES_SCHEMA)
 
 
+_LINEAGE_SCHEMA = (
+    "media_id string, media_type string, status string, error string, "
+    "attempt int, n_bytes int, features array<float>"
+)
+
+
+def extract_features_with_lineage(
+    media: DataFrame, decoder=None, dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Decode with PER-ROW failure isolation — the reference's C3 pattern
+    (embedding failed-request queue with categorized errors + attempt counts,
+    /root/reference/src/embedding_and_indexing.py:399-543) applied to the one
+    stage here that can fail per item: media decoding. One corrupt payload
+    must not kill the task; it becomes a ``status='failed'`` lineage row
+    carrying the error class and attempt number, and ``retry_failed``
+    re-drives exactly those keys.
+
+    ``decoder`` is the pluggable codec (payload -> feature ndarray); default
+    is the deterministic stub. An ``attempt`` column on the input (added by
+    ``retry_failed``) is passed through; absent means attempt 1. The per-row
+    loop is legitimate at this seam — real decode is per-item C-library work.
+    """
+    dec = decoder or (lambda p: _fake_decode(p, dim))
+    cols = [
+        "media_id", "media_type", "status", "error", "attempt", "n_bytes", "features",
+    ]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            attempts = pdf["attempt"] if "attempt" in pdf.columns else [1] * len(pdf)
+            recs = []
+            for mid, mtype, payload, att in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"], attempts
+            ):
+                n_bytes = 0 if payload is None else len(payload)
+                try:
+                    f = dec(payload)
+                    recs.append(
+                        (mid, mtype, "ok", None, int(att), n_bytes,
+                         [float(x) for x in f])
+                    )
+                except Exception as exc:  # noqa: BLE001 — the queue wants the class
+                    recs.append(
+                        (mid, mtype, "failed", f"{type(exc).__name__}: {exc}",
+                         int(att), n_bytes, None)
+                    )
+            yield pd.DataFrame(recs, columns=cols)
+
+    return media.mapInPandas(op, schema=_LINEAGE_SCHEMA)
+
+
+def retry_failed(
+    media: DataFrame,
+    lineage: DataFrame,
+    decoder=None,
+    dim: int = FEATURE_DIM,
+    max_attempts: int = 3,
+) -> DataFrame:
+    """Re-drive ONLY the failed keys below the attempt cap (the reference's
+    retry queue consumption, embedding_and_indexing.py:1043-1097 — minus
+    wall-clock backoff, which has no batch meaning). Returns fresh lineage
+    rows with attempt+1; callers union these over the prior ok rows."""
+    todo = lineage.where(
+        (F.col("status") == "failed") & (F.col("attempt") < max_attempts)
+    ).select("media_id", (F.col("attempt") + 1).alias("attempt"))
+    return extract_features_with_lineage(media.join(todo, "media_id"), decoder, dim)
+
+
 def partition_by_type(media: DataFrame, partitions_per_type: int = 8) -> DataFrame:
     """Repartition so tasks see (almost always) one media_type — codec
     affinity: a task binds one decoder — while keeping

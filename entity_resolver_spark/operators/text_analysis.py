@@ -28,16 +28,13 @@ def token_count_expr(text: Column) -> Column:
 
 def bpe_ish_token_count_expr(text: Column) -> Column:
     """BPE-ish subword count: alternating letter-runs / digit-runs /
-    punctuation, each run counted as ceil(len/4) subwords — a deterministic
+    punctuation marks, each run counted as ceil(len/4) subwords — a deterministic
     proxy for BPE vocabulary behavior without a tokenizer model."""
-    pieces = F.split(
-        F.regexp_replace(text, r"([a-zA-Z]+|\d+|[^\sa-zA-Z\d])", "$1"),
-        "",
-    )
+    pieces = F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|\d+|[^\sa-zA-Z\d]"), 0)
     return F.aggregate(
-        F.filter(pieces, lambda p: F.trim(p) != ""),
+        pieces,
         F.lit(0),
-        lambda acc, p: acc + F.ceil(F.length(F.trim(p)) / 4.0).cast("int"),
+        lambda acc, p: acc + F.ceil(F.length(p) / 4.0).cast("int"),
     )
 
 

@@ -31,7 +31,7 @@ _NAME_RE = (
     r"^((?:\p{Lu}[\p{L}\p{M}']*\.?"  # Capitalized word or initial
     r"|\d{3,4}"                       # year
     r"|b\.|d\.|ca\.|fl\.|born|died|circa|approximately"
-    r"|[,()\-–]|\s)+)"
+    r"|[,()\-–—]|\s)+)"
 )
 
 
@@ -79,7 +79,7 @@ def build_entity_records(transcripts: DataFrame) -> DataFrame:
     name_no_years = F.regexp_replace(
         F.col("name_raw"),
         r"[,(]?\s*(?:b\.?|d\.?|born|died|ca\.?|circa|approximately|fl\.?)?"
-        r"\s*\d{3,4}\s*[-–]?\s*\d{0,4}\s*[)]?",
+        r"\s*\d{3,4}\??\s*[-–—]?\s*\d{0,4}\??\s*[)]?",
         " ",
     )
     records = (

@@ -172,7 +172,9 @@ class ResolutionPipeline:
             .join(new_ids.withColumnRenamed("conv_id", "left"), "left", "left_anti")
             .join(new_ids.withColumnRenamed("conv_id", "right"), "right", "left_anti")
         )
-        blocks = split_hot_blocks(all_blocks(records, cfg), cfg)
+        # lineage cut: the blocks plan is scanned three times below (semi-join
+        # probe, touched expansion, pair join) — compute the key battery once
+        blocks = split_hot_blocks(all_blocks(records, cfg), cfg).localCheckpoint()
         new_blocks = blocks.join(new_ids, "conv_id", "left_semi")
         touched = (
             new_blocks.select("block_key").distinct().join(blocks, "block_key")

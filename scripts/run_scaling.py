@@ -26,7 +26,7 @@ def run_control(cpus: int) -> float:
         "from entity_resolver_spark.session import get_spark\n"
         "from pyspark.sql import functions as F\n"
         "spark = get_spark('ctl', master='local[%d]', shuffle_partitions=%d)\n"
-        "df = spark.range(0, 48_000_000, 1, %d)\n"
+        "df = spark.range(0, 96_000_000, 1, %d)\n"
         "c = F.col('id').cast('string')\n"
         "for _ in range(4): c = F.sha2(c, 256)\n"
         "plan = df.select(c.alias('h'))\n"
@@ -69,22 +69,33 @@ def main() -> None:
     # at 8->32; JVM map-only sha2 chains 3.46x at 4->16 vs 2.06x at 8->32).
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     # Scaling is measured in the WORK-BOUND regime: at the default bench
-    # corpus (2000 entities) the scoring segment finishes in ~2s at 4N and
+    # corpus (2000 entities) the scoring segment finishes in ~1s at 4N and
     # fixed per-pass costs (noop commit, Python worker spin-up, plan exec)
-    # dominate — efficiency of constants is meaningless. 8000 entities puts
-    # >15s of real scoring work at N, the same threshold the JVM control
-    # needs to reach its own ceiling.
-    n_entities = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "8000"))
-    ctl_n = run_control(n)
-    ctl_4n = run_control(4 * n)
+    # dominate — efficiency of constants is meaningless. 24000 entities puts
+    # several seconds of real scoring work at N so the ratio measures the
+    # distributed work, the same regime the JVM control needs to reach its
+    # own ceiling.
+    n_entities = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "24000"))
+    # This sandbox is a shared-host VM: co-tenant noise was measured to
+    # degrade even the pure-JVM control from 0.81 to 0.54 efficiency between
+    # two runs of identical code 30 minutes apart. Each measurement is
+    # therefore taken K times and the MINIMUM wall kept — the standard
+    # estimator of uncontended time on a noisy box.
+    k = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    ctl_n = min(run_control(n) for _ in range(k))
+    ctl_4n = min(run_control(4 * n) for _ in range(k))
     ctl_eff = (ctl_n / ctl_4n) / 4.0
-    r8 = run(n, sf_dir, n_entities)
-    r32 = run(4 * n, sf_dir, n_entities)
+    runs_n = [run(n, sf_dir, n_entities) for _ in range(k)]
+    runs_4n = [run(4 * n, sf_dir, n_entities) for _ in range(k)]
+    r8 = min(runs_n, key=lambda r: r["queries"]["er_score"])
+    r32 = min(runs_4n, key=lambda r: r["queries"]["er_score"])
     tp8 = r8["pairs_scored_per_sec"]
     tp32 = r32["pairs_scored_per_sec"]
     # scaling efficiency: speedup achieved / speedup available (4x)
     eff = (tp32 / tp8) / 4.0
-    wall_eff = (r8["value"] / r32["value"]) / 4.0
+    wall_eff = (
+        min(r["value"] for r in runs_n) / min(r["value"] for r in runs_4n)
+    ) / 4.0
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     stamp = datetime.now(timezone.utc).isoformat()

@@ -68,3 +68,44 @@ def test_frame_sample_plan(media):
     for mid, n in counts.items():
         expect = (meta[mid] - 1) // 500 + 1
         assert n == expect, (mid, n, expect)
+
+
+def test_decode_retry_queue(spark):
+    """C3 analogue: rows whose decode raises become failed lineage rows with
+    the error class + attempt; retry_failed re-drives exactly those keys and
+    increments attempt; attempt-capped rows are left alone."""
+    from entity_resolver_spark.operators.multimodal import (
+        extract_features_with_lineage,
+        retry_failed,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30).cache()
+
+    def flaky(payload):
+        # deterministic: payload lengths are 128 + (i%5)*64 -> fail 2 of 5
+        if payload is not None and len(payload) % 128 == 0:
+            raise ValueError("corrupt frame header")
+        import numpy as np
+        return np.zeros(4, dtype="float32")
+
+    first = extract_features_with_lineage(media, decoder=flaky, dim=4).cache()
+    ok1 = first.where(F.col("status") == "ok")
+    bad1 = first.where(F.col("status") == "failed")
+    n_ok1, n_bad1 = ok1.count(), bad1.count()
+    assert n_bad1 > 0 and n_ok1 + n_bad1 == 30
+    errs = {r["error"] for r in bad1.select("error").distinct().collect()}
+    assert errs == {"ValueError: corrupt frame header"}
+    assert {r["attempt"] for r in first.select("attempt").distinct().collect()} == {1}
+
+    # retry with a fixed decoder: every failed key succeeds at attempt 2
+    second = retry_failed(media, first, decoder=None, dim=4).cache()
+    assert second.count() == n_bad1
+    assert second.where(F.col("status") == "ok").count() == n_bad1
+    assert {r["attempt"] for r in second.select("attempt").distinct().collect()} == {2}
+    # retried keys are exactly the failed ones
+    assert second.join(bad1.select("media_id"), "media_id", "left_anti").count() == 0
+
+    # attempt-capped rows are not re-driven
+    assert retry_failed(media, second.withColumn("status", F.lit("failed")),
+                        max_attempts=2).count() == 0

@@ -52,6 +52,12 @@ def test_year_extraction(spark):
         ("Euler, ca. 1707-1783", 1707, 1783),
         ("Gauss, circa 1777", 1777, None),
         ("No years here", None, None),
+        # reference-cascade forms (src/birth_death_regexes.py:28-73):
+        ("Hypatia, 1797—1828", 1797, 1828),          # em-dash range
+        ("Abel, 565-approximately 665", 565, 665),    # approx death in range
+        ("Galois, b. ca. 1811", 1811, None),          # approx after birth mark
+        ("Jacobi, died circa 1851", None, 1851),      # approx after death mark
+        ("Cantor, 1845?-1918", 1845, 1918),           # uncertain birth year
     ]
     df = spark.createDataFrame([(c[0],) for c in cases], ["s"])
     rows = df.select(

@@ -102,6 +102,24 @@ def test_registry_field_matrix(spark):
     assert got[("author", "editor")]["title_role_adjusted"] == pytest.approx(0.7)
 
 
+def test_registry_low_indicators(spark):
+    """X7 family: binary low-similarity indicators with the reference's
+    thresholds (lev 0.60 / JW 0.90, config.yml:303-309)."""
+    df = spark.createDataFrame(
+        [("schubert", "schubert"), ("schubert", "zzz")], ["l_name", "r_name"]
+    )
+    specs = [
+        {"name": "low_lev", "type": "field_low_indicator", "field": "name",
+         "metric": "levenshtein", "threshold": 0.60},
+        {"name": "low_jw", "type": "field_low_indicator", "field": "name",
+         "metric": "jaro_winkler", "threshold": 0.90},
+    ]
+    rows = df.select("r_name", *build_features(specs)).collect()
+    got = {r["r_name"]: r for r in rows}
+    assert got["schubert"]["low_lev"] == 0.0 and got["schubert"]["low_jw"] == 0.0
+    assert got["zzz"]["low_lev"] == 1.0 and got["zzz"]["low_jw"] == 1.0
+
+
 def test_registry_substitution(spark):
     register_feature("field_match", lambda l, r, p: F.lit(0.42))
     df = spark.createDataFrame([("a", "a")], ["l_x", "r_x"])

@@ -62,3 +62,25 @@ def test_analyze_documents_on_testdata(spark):
     ).collect()[0]
     assert row[3] == docs.count()
     assert row[0] >= 0 and 0.0 <= row[1] <= row[2] <= 1.0
+
+
+def test_bpe_ish_subword_count(spark):
+    """Letter/digit runs count ceil(len/4); punctuation counts 1 each."""
+    from entity_resolver_spark.operators.text_analysis import (
+        bpe_ish_token_count_expr,
+    )
+
+    cases = [
+        ("hello", 2),            # 5 letters -> ceil(5/4)=2
+        ("hi", 1),
+        ("hello world", 4),      # ceil(5/4) + ceil(5/4)
+        ("abc-123", 3),          # 1 + 1(punct) + 1
+        ("internationalization", 5),  # 20 -> 5
+        ("", 0),
+        ("!!!", 3),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["t"])
+    rows = df.select("t", bpe_ish_token_count_expr(F.col("t")).alias("n")).collect()
+    got = {r["t"]: r["n"] for r in rows}
+    for text, exp in cases:
+        assert got[text] == exp, (text, got[text], exp)
