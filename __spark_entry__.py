@@ -416,6 +416,47 @@ def q_er_candidate_pairs(spark, sf_dir):
     return candidate_pairs(records).orderBy("left", "right")
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup candidates over documents (rows-only: blake2b token
+    hashing is a pandas-UDF; DuckDB can't reproduce the fingerprints)."""
+    from entity_resolver_spark.operators.dedup import simhash_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        simhash_pairs(docs, max_hamming=6)
+        .orderBy("left", "right")
+    )
+
+
+def q_er_impute(spark, sf_dir):
+    """Subject-imputation analogue: top-k tool votes for conversations that
+    never called one, from block-neighbors that did (rows-only: blocking keys
+    are xxhash64-derived). Tools are planted deterministically on every 5th
+    primary conversation so donors exist."""
+    from entity_resolver_spark.config import EngineConfig
+    from entity_resolver_spark.operators.blocking import all_blocks, split_hot_blocks
+    from entity_resolver_spark.operators.features import text_vectors
+    from entity_resolver_spark.operators.imputation import impute_attribute
+    from entity_resolver_spark.operators.transcripts import build_entity_records
+
+    cfg = EngineConfig()
+    t = derive_transcripts(spark, sf_dir)
+    records = build_entity_records(t).localCheckpoint()
+    vectors = text_vectors(records, cfg)
+    blocks = split_hot_blocks(all_blocks(records, cfg), cfg)
+    attrs = records.select(
+        "conv_id",
+        F.when(
+            F.col("conv_id").startswith("d")
+            & (F.pmod(F.substring("conv_id", 2, 10).cast("int"), F.lit(5)) == 0),
+            F.lit("search_catalog"),
+        ).alias("attr"),
+    )
+    return impute_attribute(records, vectors, attrs, blocks).orderBy(
+        "conv_id", "rank", "attr"
+    )
+
+
 def q_er_clusters(spark, sf_dir):
     from entity_resolver_spark.operators.blocking import candidate_pairs
     from entity_resolver_spark.operators.clustering import cluster_records
@@ -458,8 +499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
+        "simhash_near_dup": q_simhash_near_dup,
         "er_records": q_er_records,
         "er_candidate_pairs": q_er_candidate_pairs,
+        "er_impute": q_er_impute,
         "er_clusters": q_er_clusters,
     }
 

@@ -148,6 +148,14 @@ def main() -> None:
     n_clusters = clusters.select("cluster_id").distinct().count()
     timings["er_cluster"] = round(time.monotonic() - t0, 3)
 
+    # Quality at bench scale, STRICT form: labeled true pairs the blocker
+    # never produced count as misses (the north-rule form, "at identical
+    # blocking keys", only scores pairs sharing a block — this is harder).
+    from entity_resolver_spark.plans.pipeline import evaluate_pairs
+
+    labeled = spark.createDataFrame(data["labeled_pairs"])
+    f1_strict = round(evaluate_pairs(scored, labeled)["f1"], 4)
+
     total = time.monotonic() - t_total
     result = {
         "metric": "end_to_end_wall",
@@ -159,6 +167,7 @@ def main() -> None:
         "er_records": n_records,
         "er_candidate_pairs": n_pairs,
         "er_clusters": n_clusters,
+        "er_f1_strict": f1_strict,
         "pairs_scored_per_sec": round(n_pairs / score_wall, 1) if score_wall else None,
     }
     print(json.dumps(result))
