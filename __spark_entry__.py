@@ -223,6 +223,32 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_asof_clicks(spark, sf_dir):
+    """As-of join: each purchase event gets the most recent click of the same
+    user at-or-before it (union-tag + running last() — one shuffle, no join
+    blow-up). DuckDB's native ASOF JOIN is the oracle."""
+    from entity_resolver_spark.operators.temporal import asof_join
+
+    e = _read(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="cts",
+        value_cols=["click_id", "click_value"],
+    ).select("user_id", "event_id", "click_id", "click_value").orderBy("event_id")
+
+
 def q_rollup_order_stats(spark, sf_dir):
     """Rollup aggregation (hierarchical totals) over orders."""
     o = _read(spark, sf_dir, "orders")
@@ -336,6 +362,68 @@ def q_ngram_dedup_verify(spark, sf_dir):
     cand = minhash_dedup_pairs(docs).select("left", "right")
     verified = ngram_jaccard_pairs(docs, cand)
     return verified.where(F.col("jaccard") >= 0.8).orderBy("left", "right")
+
+
+def q_jaccard_near_dup(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs with SQL-expressible candidates
+    (same-lang pairs): oracle-checks the P5 Jaccard-verify kernel end to end.
+    The LSH candidate path (``minhash_dedup_pairs``) is the scale path; this
+    exact form is its oracle baseline, same pattern as embedding_near_dup."""
+    from entity_resolver_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    ids = docs.select("doc_id", "lang")
+    cand = (
+        ids.select(F.col("doc_id").alias("left"), "lang")
+        .join(ids.select(F.col("doc_id").alias("right"), "lang"), "lang")
+        .where(F.col("left") < F.col("right"))
+        .select("left", "right")
+    )
+    return (
+        ngram_jaccard_pairs(docs, cand)
+        .where(F.col("jaccard") >= 0.6)
+        .orderBy("left", "right")
+    )
+
+
+def q_graph_sessions(spark, sf_dir):
+    """G1 connected-components cross-validated against an independent oracle:
+    build edges between CONSECUTIVE events of a user when the gap is <= 30min,
+    run the large-star/small-star CC operator, and aggregate components to
+    per-user session stats. The DuckDB oracle computes the same partition via
+    gap-based sessionization (lag + cumulative sum) — two entirely different
+    algorithms, same answer."""
+    from entity_resolver_spark.operators.clustering import connected_components
+
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    adj = e.select(
+        "user_id",
+        F.col("event_id").cast("string").alias("dst"),
+        F.lag(F.col("event_id").cast("string")).over(w).alias("src"),
+        (epoch - F.lag(epoch).over(w)).alias("gap"),
+    )
+    edges = adj.where(F.col("src").isNotNull() & (F.col("gap") <= 1800)).select(
+        "src", "dst"
+    )
+    comp = connected_components(edges)
+    sessions = (
+        e.select("user_id", F.col("event_id").cast("string").alias("id"))
+        .join(comp, "id", "left")
+        .select("user_id", F.coalesce("component", "id").alias("sess"))
+    )
+    per_sess = sessions.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -487,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "exact_block_pairs": q_exact_block_pairs,
         "rollup_order_stats": q_rollup_order_stats,
+        "asof_clicks": q_asof_clicks,
         "scaler_bounds": q_scaler_bounds,
         "turn_concat": q_turn_concat,
         "sessionize": q_sessionize,
@@ -496,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subword_stats": q_subword_stats,
         "lang_id_confusion": q_lang_id_confusion,
         "ngram_dedup_verify": q_ngram_dedup_verify,
+        "jaccard_near_dup": q_jaccard_near_dup,
+        "graph_sessions": q_graph_sessions,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
@@ -559,6 +650,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "asof_clicks": """
+            SELECT p.user_id, p.event_id,
+                   c.event_id AS click_id, c.value AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id
         """,
         "scaler_bounds": """
             SELECT quantile_cont(l_extendedprice, 0.0) AS price_lo,
@@ -754,7 +853,62 @@ def oracle_sql() -> dict[str, str]:
                    ), '') AS INT) AS death_year
             FROM named ORDER BY conv_id
         """,
-        # ngram_dedup_verify / er_candidate_pairs / er_clusters stay
-        # rows-only: they depend on xxhash64-seeded LSH / pandas-UDF scoring /
-        # iterative CC that DuckDB cannot reproduce bit-for-bit.
+        "jaccard_near_dup": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(trim(regexp_replace(
+                           regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
+                           '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, lang,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct([array_to_string(
+                                     list_slice(toks, i, i + 2), ' ')
+                                 for i in range(1, len(toks) - 1)])
+                            ELSE [array_to_string(toks, ' ')] END AS g
+                FROM t
+            ), pairs AS (
+                SELECT a.doc_id AS "left", b.doc_id AS "right",
+                       len(list_intersect(a.g, b.g)) * 1.0
+                         / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+                         AS jaccard
+                FROM sh a JOIN sh b
+                  ON a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            SELECT * FROM pairs WHERE jaccard >= 0.6 ORDER BY "left", "right"
+        """,
+        # graph_sessions: the oracle is gap-based sessionization — an
+        # INDEPENDENT algorithm that must produce the same partition as the
+        # connected-components run over temporal-adjacency edges.
+        "graph_sessions": """
+            WITH flagged AS (
+                SELECT user_id, event_id, value,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessions AS (
+                SELECT user_id,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sess_id
+                FROM (SELECT user_id, event_id, new_sess
+                      FROM flagged ORDER BY user_id, event_id)
+            ), per_sess AS (
+                SELECT user_id, sess_id, count(*) AS n_events
+                FROM sessions GROUP BY user_id, sess_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events
+            FROM per_sess GROUP BY user_id ORDER BY user_id
+        """,
+        # ngram_dedup_verify / simhash_near_dup / er_candidate_pairs /
+        # er_impute / er_clusters stay rows-only: they depend on
+        # xxhash64-seeded LSH / blake2b fingerprints / pandas-UDF scoring /
+        # hashed-TF vectors that DuckDB cannot reproduce bit-for-bit. Their
+        # kernels ARE oracle-checked through the exact-path queries above
+        # (jaccard_near_dup for the Jaccard verify, graph_sessions for CC,
+        # embedding_near_dup for cosine near-dup).
     }

@@ -110,20 +110,26 @@ def main() -> None:
         pair_inputs,
     )
 
+    from entity_resolver_spark.config import BROADCAST_MAX_RECORDS
+
     t0 = time.monotonic()
     inputs = pair_inputs(pairs, records, vectors=vectors).localCheckpoint()
     inputs.count()
     timings["er_pair_inputs"] = round(time.monotonic() - t0, 3)
 
-    # The 100-TB join path: same inputs via shuffled join instead of
-    # broadcast (what auto-select picks once the record side outgrows
-    # executor memory). Recorded to prove the scale path stays within ~1.5x
-    # of the broadcast fast path at this sf.
+    # Record the join path auto-select did NOT take, to prove the other
+    # strategy stays in the same ballpark: broadcast is the small-corpus
+    # fast path, the shuffled equi-join is the 100-TB path (and what
+    # auto-select picks once the record side outgrows the broadcast cap —
+    # its hash-relation build is single-threaded driver work).
+    auto_bcast = n_records <= BROADCAST_MAX_RECORDS
     t0 = time.monotonic()
-    pair_inputs(pairs, records, vectors=vectors, broadcast_dims=False).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    timings["er_pair_inputs_smj"] = round(time.monotonic() - t0, 3)
+    pair_inputs(
+        pairs, records, vectors=vectors, broadcast_dims=not auto_bcast
+    ).write.format("noop").mode("overwrite").save()
+    timings["er_pair_inputs_smj" if auto_bcast else "er_pair_inputs_bcast"] = round(
+        time.monotonic() - t0, 3
+    )
 
     scored_plan = score_pairs(features_from_inputs(inputs), model)
     # First pass pays whole-stage codegen compilation, Python worker spin-up,

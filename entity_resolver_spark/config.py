@@ -70,12 +70,15 @@ YEAR_TOLERANCE = 2
 
 # pair_inputs broadcasts the per-record attrs+vector side while it fits:
 # ~1 KB/record serialized (name key + years + a <=64-entry sparse vector), so
-# 1M records ~ 1 GB — the safe ceiling for an executor-resident hash table.
-# Larger corpora automatically fall back to a shuffled (sort-merge) join,
-# which scales with the cluster instead of with executor memory. The
-# reference's analogue is per-process dict probes over ALL records
-# (src/feature_engineering.py:48-162) — memory-unbounded; this is not.
-BROADCAST_MAX_RECORDS = 1_000_000
+# the cap is ~64 MB of broadcast relation. Building that relation is
+# SINGLE-THREADED driver work — a parallelism-independent serial cost that
+# Amdahl-caps scaling (measured: at ~85k records the broadcast path lost to
+# the shuffled join at local[16] while winning at local[4]). Beyond the cap
+# the shuffled equi-join takes over: it scales with the cluster instead of
+# with driver/executor memory. The reference's analogue is per-process dict
+# probes over ALL records (src/feature_engineering.py:48-162) —
+# memory-unbounded; this is not.
+BROADCAST_MAX_RECORDS = 64_000
 
 # Training hyper-parameters (reference config.yml:246-253).
 LR_LEARNING_RATE = 0.05

@@ -150,15 +150,14 @@ def train(
     # Edge threshold for clustering: strictly above the match threshold —
     # transitive closure amplifies every false-positive edge into a cluster
     # merge (the reference clusters at 0.65 vs matching at 0.56,
-    # config.yml:234/253 — a +0.09 safety band). Take the smallest candidate
-    # >= t+0.1 with zero validation false positives; never below t+0.1.
-    edge_t = min(t + 0.1, 0.95)
-    for cand in np.arange(t + 0.1, 0.951, 0.01):
-        pred = p_va >= cand
-        fp_ = int(np.sum(pred & (y[va] <= 0.5)))
-        edge_t = float(cand)
-        if fp_ == 0:
-            break
+    # config.yml:234/253 — a +0.09 safety band). Set it from the 99.5th
+    # percentile of the NEGATIVE validation scores (an interpolated quantile
+    # — one noisy pair shifts it marginally, where the previous
+    # first-zero-FP scan jumped a full grid step on a single outlier),
+    # floored at t+0.1 and capped at 0.95.
+    neg = p_va[y[va] <= 0.5]
+    q = float(np.quantile(neg, 0.995)) + 0.01 if len(neg) >= 20 else 0.0
+    edge_t = float(min(max(t + 0.1, q), 0.95))
     p_all = 1.0 / (1.0 + np.exp(-np.clip(X @ w + b, -30, 30)))
     pred = p_all >= t
     tp = int(np.sum(pred & (y > 0.5)))
