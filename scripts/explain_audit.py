@@ -84,6 +84,21 @@ def main() -> None:
             if "PushedFilters" in line or "ReadSchema" in line or "BroadcastHashJoin" in line.strip()[:40]:
                 print("      " + line.strip()[:160])
 
+    # As-of join shuffle discipline: the union-tag construction must plan
+    # exactly ONE exchange (the key shuffle for the running window) — a
+    # join-based as-of would show two-plus. Count unique Exchange operators
+    # in the pre-AQE plan.
+    asof_plan = plan_of(qs["asof_clicks"](spark, sf_dir))
+    n_exch = len(re.findall(r"Arguments: hashpartitioning", asof_plan))
+    # one hash exchange for the window key; the final orderBy adds a range
+    # exchange which is presentation-only
+    ok = n_exch == 1
+    any_warn |= not ok
+    print(
+        f"{'PASS' if ok else 'WARN'} asof_clicks: {n_exch} hash exchange(s) "
+        f"({'single-shuffle union-tag plan' if ok else 'unexpected extra shuffles'})"
+    )
+
     # Plan-size guard: ANN plans at embedding dim 1536 must NOT inline
     # hyperplanes/centroids as literals (n_tables*n_bits*1536 constants broke
     # codegen limits before they moved to broadcast DataFrames).
