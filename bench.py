@@ -40,6 +40,12 @@ def main() -> None:
         shuffle_partitions=max(cpus, 8),
     )
 
+    # One trivial action before any timed query: the first action in a fresh
+    # JVM pays interpreter/JIT/codegen-infrastructure spin-up (~4-5s on this
+    # box) that belongs to the session, not to whichever query happens to run
+    # first. Standard warmup discipline; touches no benchmark data.
+    spark.range(1_000).count()
+
     timings: dict[str, float] = {}
     t_total = time.monotonic()
 
