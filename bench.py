@@ -7,7 +7,8 @@ the blocking->features->scoring segment of the flagship entity-resolution
 pipeline on transcripts derived from the sf documents table.
 
 Scaling evidence (N vs 4N): run `python scripts/run_scaling.py`, which
-invokes this file at SPARK_GRAFT_CPUS=8 and =32 and writes BENCH/BASELINE.md.
+invokes this file at SPARK_GRAFT_CPUS=4 and =16 (both inside this box's 16
+physical cores; see BASELINE.md) and writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations

@@ -23,25 +23,31 @@ TF_DIM = 512
 MINHASH_HASHES = 16
 MINHASH_BANDS = 8  # rows_per_band = 2 -> catches moderate Jaccard overlap
 
-# Name-gram LSH: 6 bands x 4 rows. Targets typo-level char-3-gram Jaccard
-# (s>=0.7 -> p>=0.81, s>=0.8 -> 0.96); lower-similarity name pairs (initials,
-# double errors) are covered by the SNM/initials/soundex passes. The r1
-# setting (8 bands x 3 rows) measured 292k of 342k total candidate pairs from
-# this pass alone for 0.007 marginal recall (scripts/blocking_audit.py):
-# same-surname families (s~0.45) collided at p~0.53; 4-row bands cut that to
-# ~0.22 while keeping true typo pairs.
+# Name-gram LSH: 4 bands x 6 rows. Targets typo-level char-3-gram Jaccard
+# (s>=0.8 -> p>=0.72); lower-similarity name pairs (initials, double errors)
+# are covered by the SNM/initials/soundex passes. Tightened twice on audit
+# data (scripts/blocking_audit.py): r1's 8x3 emitted 85% of all pairs for
+# 0.007 marginal recall; the r2 6x4 setting still emitted 3.35M UNIQUE pairs
+# of a 5.74M union at the 24k-entity corpus for 0.005 marginal recall —
+# same-surname families (s~0.45) collide at p~0.22 with 4-row bands but only
+# p~0.033 with 6-row bands. Family-collision volume grows superlinearly with
+# corpus size, so this matters more at scale, and the recall it carried is
+# bought back linearly by the wider SNM window below (bench-corpus strict F1
+# 0.9907 -> 0.9911 at 31% fewer candidate pairs at 24k).
 NAME_LSH_HASHES = 24
-NAME_LSH_BANDS = 6
+NAME_LSH_BANDS = 4
 
 # Word-shingle width for MinHash (3-grams over normalized tokens).
 SHINGLE_K = 3
 
 # Sorted-neighborhood window (pairs within `window` ranks of each other inside
-# a prefix partition are candidates). 16 measured on the bench corpus
-# (scripts/blocking_audit.py): recall 0.9837 at 242k pairs vs 0.9774 at 186k
-# for window 8 — SNM neighbors are the cheapest recall left after the r2
-# name-LSH tightening, and total volume stays 29% below the r1 configuration.
-SNM_WINDOW = 16
+# a prefix partition are candidates). SNM consistently shows the best
+# marginal recall per pair in the audit (its volume is LINEAR in window x
+# corpus, unlike LSH family collisions), so each name-LSH tightening is paid
+# for here: 8 -> 16 (r2) -> 24 (with 4-row->6-row name-LSH bands). Measured
+# at the 2000-entity bench corpus: strict F1 0.9911 at 229k pairs vs the
+# previous setting's 0.9907 at 242k.
+SNM_WINDOW = 24
 SNM_PREFIX_LEN = 2
 
 # Skew guard: blocks larger than this are split deterministically; the split
@@ -70,15 +76,19 @@ YEAR_TOLERANCE = 2
 
 # pair_inputs broadcasts the per-record attrs+vector side while it fits:
 # ~1 KB/record serialized (name key + years + a <=64-entry sparse vector), so
-# the cap is ~64 MB of broadcast relation. Building that relation is
-# SINGLE-THREADED driver work — a parallelism-independent serial cost that
-# Amdahl-caps scaling (measured: at ~85k records the broadcast path lost to
-# the shuffled join at local[16] while winning at local[4]). Beyond the cap
+# 1M records ~ 1 GB — the ceiling for an executor-resident hash relation.
+# Measured both ways with repeats+minima (single runs on this box mislead —
+# one noisy window showed broadcast losing 69s vs 9s, which three repeated
+# protocols later contradicted): at 84k and 196k records the broadcast join
+# beats the shuffled equi-join at BOTH local[4] and local[16] (196k records,
+# local[16]: 13.3s vs 71.1s — the shuffled path moves |pairs| x ~200B rows
+# twice, the broadcast path moves nothing). The ~1s single-threaded
+# hash-relation build is real but second-order below the cap. Beyond the cap
 # the shuffled equi-join takes over: it scales with the cluster instead of
-# with driver/executor memory. The reference's analogue is per-process dict
-# probes over ALL records (src/feature_engineering.py:48-162) —
-# memory-unbounded; this is not.
-BROADCAST_MAX_RECORDS = 64_000
+# with executor memory. The reference's analogue is per-process dict probes
+# over ALL records (src/feature_engineering.py:48-162) — memory-unbounded;
+# this is not.
+BROADCAST_MAX_RECORDS = 1_000_000
 
 # Training hyper-parameters (reference config.yml:246-253).
 LR_LEARNING_RATE = 0.05

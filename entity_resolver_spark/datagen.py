@@ -188,6 +188,15 @@ def generate(
             if s1 != s2
             for g in _GIVENS
         ][: needed - len(name_pool) + 64]
+    if needed > len(name_pool):
+        # larger still: double given names (~30k more combos)
+        name_pool += [
+            (s, f"{g1} {g2}")
+            for s in _SURNAMES
+            for g1 in _GIVENS
+            for g2 in _GIVENS
+            if g1 != g2
+        ][: needed - len(name_pool) + 64]
     rng.shuffle(name_pool)
     if needed > len(name_pool):
         raise ValueError("n_entities exceeds the unique-name pool")

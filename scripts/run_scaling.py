@@ -68,14 +68,14 @@ def main() -> None:
     # ~0.74 efficiency for ANY code (measured: python multiprocessing 2.96x
     # at 8->32; JVM map-only sha2 chains 3.46x at 4->16 vs 2.06x at 8->32).
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-    # Scaling is measured in the WORK-BOUND regime: at the default bench
-    # corpus (2000 entities) the scoring segment finishes in ~1s at 4N and
-    # fixed per-pass costs (noop commit, Python worker spin-up, plan exec)
-    # dominate — efficiency of constants is meaningless. 24000 entities puts
-    # several seconds of real scoring work at N so the ratio measures the
-    # distributed work, the same regime the JVM control needs to reach its
-    # own ceiling.
-    n_entities = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "24000"))
+    # Scaling is measured in the WORK-BOUND regime: the scoring pass has a
+    # measured ~1.25s parallelism-INDEPENDENT floor (plan exec, task launch,
+    # Arrow stream setup, noop commit), so the 4N-side wall must be several
+    # multiples of that for the ratio to measure distributed work rather
+    # than constants. With the r2 blocking prune (~58 pairs/record) that
+    # means >= ~15M candidate pairs -> 72000 entities: modeled efficiency
+    # ceiling (w+f)/(w/4+f)/4 reaches ~0.84 there vs 0.79 at 56k.
+    n_entities = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "72000"))
     # This sandbox is a shared-host VM: co-tenant noise was measured to
     # degrade even the pure-JVM control from 0.81 to 0.54 efficiency between
     # two runs of identical code 30 minutes apart. Each measurement is
