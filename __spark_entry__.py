@@ -674,7 +674,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": """
             WITH flagged AS (
-                SELECT user_id, event_id, value,
+                SELECT user_id, event_id, ts, value,
                        CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
@@ -682,11 +682,11 @@ def oracle_sql() -> dict[str, str]:
             ), sessions AS (
                 SELECT user_id, value,
                        sum(new_sess) OVER (
-                           PARTITION BY user_id ORDER BY event_id
+                           PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING
                        ) AS sess_id
-                FROM (SELECT user_id, event_id, value, new_sess
-                      FROM flagged ORDER BY user_id, event_id)
+                FROM (SELECT user_id, event_id, ts, value, new_sess
+                      FROM flagged ORDER BY user_id, ts, event_id)
             ), per_sess AS (
                 SELECT user_id, sess_id, count(*) AS n_events
                 FROM sessions GROUP BY user_id, sess_id
@@ -883,7 +883,7 @@ def oracle_sql() -> dict[str, str]:
         # connected-components run over temporal-adjacency edges.
         "graph_sessions": """
             WITH flagged AS (
-                SELECT user_id, event_id, value,
+                SELECT user_id, event_id, ts, value,
                        CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
@@ -891,11 +891,11 @@ def oracle_sql() -> dict[str, str]:
             ), sessions AS (
                 SELECT user_id,
                        sum(new_sess) OVER (
-                           PARTITION BY user_id ORDER BY event_id
+                           PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING
                        ) AS sess_id
-                FROM (SELECT user_id, event_id, new_sess
-                      FROM flagged ORDER BY user_id, event_id)
+                FROM (SELECT user_id, event_id, ts, new_sess
+                      FROM flagged ORDER BY user_id, ts, event_id)
             ), per_sess AS (
                 SELECT user_id, sess_id, count(*) AS n_events
                 FROM sessions GROUP BY user_id, sess_id

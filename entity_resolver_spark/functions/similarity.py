@@ -201,7 +201,10 @@ def jaro_winkler_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
     bf = b.fillna("")
     if not len(af):
         return pd.Series(np.empty(0, dtype=np.float64))
-    codes, _ = pd.factorize(af + "\x00" + bf)
+    # factorize the PAIR, not a sentinel-joined string — a NUL inside a name
+    # would make ("a\x00b","c") collide with ("a","b\x00c") and return the
+    # wrong pair's score. MultiIndex factorization hashes the tuple.
+    codes, _ = pd.factorize(pd.MultiIndex.from_arrays([af, bf]))
     first = np.zeros(codes.max() + 1, dtype=np.int64)
     first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
     uniq = jaro_winkler_batch(

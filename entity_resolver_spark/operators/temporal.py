@@ -42,56 +42,54 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
     lcols = left.columns
-    # Tag: right rows carry payload, left rows carry NULL payload. After the
-    # union, within each key ordered by (ts, tag), last(payload, ignorenulls)
-    # over unbounded-preceding is exactly "most recent right value at or
-    # before me" (right tag 0 sorts before left tag 1 at equal ts).
-    payload = [F.col(c).alias(f"__v_{c}") for c in value_cols]
+    clash = set(value_cols) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} collide with left columns; "
+            "rename them on the right side before joining"
+        )
+    # Tag: right rows carry the payload as ONE struct, left rows carry a NULL
+    # struct. After the union, within each key ordered by (ts, tag),
+    # last(struct, ignorenulls) over unbounded-preceding is exactly "the most
+    # recent right ROW at or before me" (right tag 0 sorts before left tag 1
+    # at equal ts). A single struct — not one last() per column — so a NULL
+    # field inside the matched right row stays NULL instead of being
+    # back-filled from an older row (ASOF returns the matched row verbatim).
+    payload = F.struct(*[F.col(c).alias(c) for c in value_cols])
     r = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__tag"),
-        *payload,
+        payload.alias("__p"),
     )
     l = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
-    u = r.select(*[F.lit(None).cast(l.schema[f"__l_{c}"].dataType).alias(f"__l_{c}") for c in lcols], *r.columns).unionByName(
-        l.select(*[F.col(f"__l_{c}") for c in lcols], "__k", "__t", "__tag", *[f"__v_{c}" for c in value_cols])
+    u = r.select(
+        *[
+            F.lit(None).cast(l.schema[f"__l_{c}"].dataType).alias(f"__l_{c}")
+            for c in lcols
+        ],
+        *r.columns,
+    ).unionByName(
+        l.select(*[F.col(f"__l_{c}") for c in lcols], "__k", "__t", "__tag", "__p")
     )
-    if direction == "backward":
-        w = (
-            Window.partitionBy("__k")
-            .orderBy(F.asc("__t"), F.asc("__tag"))
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        filled = u.select(
-            *u.columns,
-            *[
-                F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-                for c in value_cols
-            ],
-        )
-    else:
-        w = (
-            Window.partitionBy("__k")
-            .orderBy(F.desc("__t"), F.asc("__tag"))
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        filled = u.select(
-            *u.columns,
-            *[
-                F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-                for c in value_cols
-            ],
-        )
+    order = F.asc("__t") if direction == "backward" else F.desc("__t")
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(order, F.asc("__tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *u.columns, F.last("__p", ignorenulls=True).over(w).alias("__f")
+    )
     out = filled.where(F.col("__tag") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+        *[F.col("__f")[c].alias(c) for c in value_cols],
     )
     return out
 

@@ -78,3 +78,30 @@ def test_cosine_expr_and_pudf_match_numpy(spark):
             expected = min(max(float(a @ b) / (na * nb), 0.0), 1.0)
         assert r["native"] == pytest.approx(expected, abs=1e-9)
         assert r["pudf"] == pytest.approx(expected, abs=1e-9)
+
+
+def test_jaro_winkler_pudf_nul_bytes(spark):
+    """Pair factorization must key on the (a, b) TUPLE: strings containing
+    NUL must not alias ("a\\x00b","c") with ("a","b\\x00c")."""
+    import pandas as pd
+
+    from entity_resolver_spark.functions.similarity import (
+        jaro_winkler_batch,
+        jaro_winkler_pudf,
+    )
+
+    pdf = pd.DataFrame(
+        {"a": ["a\x00b", "a", "x"], "b": ["c", "b\x00c", "x"]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.select("a", "b", jaro_winkler_pudf("a", "b").alias("jw"))
+        .toPandas()
+        .sort_values(["a", "b"])
+    )
+    import numpy as np
+
+    exp = jaro_winkler_batch(
+        got["a"].to_numpy(), got["b"].to_numpy()
+    )
+    assert np.allclose(got["jw"].to_numpy(), exp)

@@ -134,3 +134,37 @@ def test_range_join_bucketed_equals_plain(spark):
     )
     assert plain == bucketed
     assert len(plain) > 0
+
+
+def test_asof_null_payload_field_not_backfilled(spark):
+    """A matched right row whose value column is NULL must yield NULL — not a
+    value carried forward from an OLDER right row (ASOF returns the matched
+    row verbatim; per-column fill would mix rows)."""
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a"],
+                "rts": pd.to_datetime(["2024-01-01 09:00", "2024-01-01 09:10"]),
+                "v1": [1.0, None],
+                "v2": [10.0, 20.0],
+            }
+        )
+    )
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a"], "ts": pd.to_datetime(["2024-01-01 09:15"])}
+        )
+    )
+    got = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts", value_cols=["v1", "v2"]
+    ).collect()[0]
+    assert got["v2"] == 20.0
+    assert got["v1"] is None  # matched row's NULL, not 1.0 from 09:00
+
+
+def test_asof_value_col_collision_raises(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "ts": pd.to_datetime(["2024-01-01"]), "v": [1.0]})
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(df, df, on="k", left_ts="ts", right_ts="ts", value_cols=["v"])
