@@ -495,24 +495,79 @@ def q_er_records(spark, sf_dir):
     ).orderBy("conv_id")
 
 
-def q_er_candidate_pairs(spark, sf_dir):
+def q_er_blocking_recall(spark, sf_dir):
+    """Blocking-recall INVARIANT, oracle-checked: every derived true pair
+    (primary conversation d{i} and its near-dup variant v{i}) must share a
+    blocking key. Spark emits the true pairs that candidate_pairs covers;
+    the oracle emits ALL true pairs — they hash-equal iff the full multi-pass
+    blocker (exact, SNM, MinHash-LSH, anchors, rare-shingle, hot-split)
+    achieves 100% recall on this corpus. Exercises the same operator the old
+    rows-only er_candidate_pairs query ran, now with a pass/fail gate."""
     from entity_resolver_spark.operators.blocking import candidate_pairs
     from entity_resolver_spark.operators.transcripts import build_entity_records
 
     t = derive_transcripts(spark, sf_dir)
     records = build_entity_records(t)
-    return candidate_pairs(records).orderBy("left", "right")
+    pairs = candidate_pairs(records)
+    docs = _read(spark, sf_dir, "documents")
+    truth = docs.where(F.pmod("doc_id", F.lit(3)) == 0).select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("left"),
+        F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias("right"),
+    )
+    return truth.join(pairs, ["left", "right"], "left_semi").orderBy("left")
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """SimHash near-dup candidates over documents (rows-only: blake2b token
-    hashing is a pandas-UDF; DuckDB can't reproduce the fingerprints)."""
+    """SimHash near-dup pairs over documents — oracle-checked: fingerprints
+    are md5-derived 60-bit SimHashes (operators/dedup.simhash_fingerprints),
+    bit-for-bit reproducible in DuckDB, which brute-forces all pairs while
+    Spark goes through the banded equi-join (n_bands = max_hamming + 1)."""
     from entity_resolver_spark.operators.dedup import simhash_pairs
 
     docs = _read(spark, sf_dir, "documents")
     return (
         simhash_pairs(docs, max_hamming=6)
+        .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("left", "right")
+    )
+
+
+def q_cluster_size_dist(spark, sf_dir):
+    """G1 twin #2: connected components over an ORACLE-REPRODUCIBLE edge set
+    (same-language doc pairs with exact 3-gram Jaccard >= 0.6 — the
+    jaccard_near_dup kernel) plus singleton append; output is the cluster
+    size distribution. DuckDB recomputes the same partition with a recursive
+    CTE (min-label propagation) — a second, independent closure algorithm
+    cross-validating large-star/small-star, on a different graph shape than
+    graph_sessions' chain graphs."""
+    from entity_resolver_spark.operators.clustering import connected_components
+    from entity_resolver_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    ids = docs.select("doc_id", "lang")
+    cand = (
+        ids.select(F.col("doc_id").alias("left"), "lang")
+        .join(ids.select(F.col("doc_id").alias("right"), "lang"), "lang")
+        .where(F.col("left") < F.col("right"))
+        .select("left", "right")
+    )
+    edges = (
+        ngram_jaccard_pairs(docs, cand)
+        .where(F.col("jaccard") >= 0.6)
+        .select(
+            F.col("left").cast("string").alias("src"),
+            F.col("right").cast("string").alias("dst"),
+        )
+    )
+    comp = connected_components(edges)
+    members = docs.select(F.col("doc_id").cast("string").alias("id")).join(
+        comp, "id", "left"
+    ).select(F.coalesce("component", "id").alias("c"))
+    sizes = members.groupBy("c").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("size")
     )
 
 
@@ -591,8 +646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
         "simhash_near_dup": q_simhash_near_dup,
+        "cluster_size_dist": q_cluster_size_dist,
         "er_records": q_er_records,
-        "er_candidate_pairs": q_er_candidate_pairs,
+        "er_blocking_recall": q_er_blocking_recall,
         "er_impute": q_er_impute,
         "er_clusters": q_er_clusters,
     }
@@ -904,11 +960,83 @@ def oracle_sql() -> dict[str, str]:
                    max(n_events) AS max_session_events
             FROM per_sess GROUP BY user_id ORDER BY user_id
         """,
-        # ngram_dedup_verify / simhash_near_dup / er_candidate_pairs /
-        # er_impute / er_clusters stay rows-only: they depend on
-        # xxhash64-seeded LSH / blake2b fingerprints / pandas-UDF scoring /
-        # hashed-TF vectors that DuckDB cannot reproduce bit-for-bit. Their
-        # kernels ARE oracle-checked through the exact-path queries above
-        # (jaccard_near_dup for the Jaccard verify, graph_sessions for CC,
-        # embedding_near_dup for cosine near-dup).
+        "simhash_near_dup": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(regexp_replace(
+                           regexp_replace(text, '[^\w\s]', ' ', 'g'),
+                           '\s+', ' ', 'g'))), '\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(toks,
+                           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                       ) AS hs
+                FROM t
+            ), fp AS (
+                -- 60-bit SimHash: per bit, sum +1/-1 votes of each token
+                -- hash's bit, set the bit when the vote is positive
+                SELECT doc_id,
+                       coalesce(list_sum(list_transform(range(0, 60), b ->
+                           CASE WHEN coalesce(list_sum(list_transform(hs, v ->
+                                    CASE WHEN (v >> b) & 1 = 1
+                                         THEN 1 ELSE -1 END)), 0) > 0
+                                THEN (CAST(1 AS BIGINT) << b)
+                                ELSE 0 END)), 0) AS fp
+                FROM h
+            )
+            SELECT a.doc_id AS "left", b.doc_id AS "right",
+                   CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 6
+            ORDER BY "left", "right"
+        """,
+        "er_blocking_recall": """
+            SELECT 'd' || CAST(doc_id AS VARCHAR) AS "left",
+                   'v' || CAST(doc_id AS VARCHAR) AS "right"
+            FROM documents WHERE doc_id % 3 = 0 ORDER BY "left"
+        """,
+        "cluster_size_dist": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(trim(regexp_replace(
+                           regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
+                           '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, lang,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct([array_to_string(
+                                     list_slice(toks, i, i + 2), ' ')
+                                 for i in range(1, len(toks) - 1)])
+                            ELSE [array_to_string(toks, ' ')] END AS g
+                FROM t
+            ), pairs AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM sh a JOIN sh b
+                  ON a.lang = b.lang AND a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.g, b.g)) * 1.0
+                        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+                      >= 0.6
+            ), edges AS (
+                SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+            ), reach(node, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+            ), comp AS (
+                SELECT node, min(r) AS c FROM reach GROUP BY node
+            ), sizes AS (
+                SELECT c, count(*) AS size FROM comp GROUP BY c
+            )
+            SELECT size, count(*) AS n_clusters
+            FROM sizes GROUP BY size ORDER BY size
+        """,
+        # ngram_dedup_verify / er_impute / er_clusters stay rows-only: they
+        # depend on xxhash64-seeded LSH / pandas-UDF scoring / hashed-TF
+        # vectors that DuckDB cannot reproduce bit-for-bit. Their kernels ARE
+        # oracle-checked through the exact-path twins above (jaccard_near_dup
+        # for the Jaccard verify, graph_sessions + cluster_size_dist for CC,
+        # embedding_near_dup for cosine near-dup, er_blocking_recall for the
+        # full blocking battery's recall contract).
     }

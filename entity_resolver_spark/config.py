@@ -40,15 +40,20 @@ NAME_LSH_BANDS = 4
 # Word-shingle width for MinHash (3-grams over normalized tokens).
 SHINGLE_K = 3
 
-# Sorted-neighborhood window (pairs within `window` ranks of each other inside
-# a prefix partition are candidates). SNM consistently shows the best
-# marginal recall per pair in the audit (its volume is LINEAR in window x
-# corpus, unlike LSH family collisions), so each name-LSH tightening is paid
-# for here: 8 -> 16 (r2) -> 24 (with 4-row->6-row name-LSH bands). Measured
-# at the 2000-entity bench corpus: strict F1 0.9911 at 229k pairs vs the
-# previous setting's 0.9907 at 242k.
+# Sorted-neighborhood window (pairs within `window/2` GLOBAL ranks of each
+# other under the name sort are candidates; ranks via range-partitioned
+# global rank, blocking.py _global_rank). SNM volume is LINEAR in window x
+# corpus, unlike LSH family collisions, so each name-LSH tightening was paid
+# for here: 8 -> 16 (r2) -> 24 (with 4-row->6-row name-LSH bands).
 SNM_WINDOW = 24
-SNM_PREFIX_LEN = 2
+
+# Rare-shingle inverted index (blocking pass B7): any distinct word shingle
+# with document frequency <= this cap is itself a block key. Near-dup texts
+# share rare shingles; the cap bounds junk at C(df, 2) pairs per shingle.
+# Measured at the 24k-entity corpus: recall of labeled true pairs
+# 0.9746 -> 0.9990 for +20% candidate volume (catches name-mangled records
+# no name pass can key). 0/1 disables.
+RARE_SHINGLE_MAX_DF = 6
 
 # Skew guard: blocks larger than this are split deterministically; the split
 # (and the pairs it forgoes) is recorded in stage metrics. A block of size B
@@ -59,8 +64,9 @@ SNM_PREFIX_LEN = 2
 MAX_BLOCK_SIZE = 64
 
 # Decision threshold for match classification (reference config.yml:253
-# `decision_threshold: 0.56`).
-DECISION_THRESHOLD = 0.56
+# `decision_threshold: 0.56`; re-swept on the 3000-entity corpus after the
+# context-vector change).
+DECISION_THRESHOLD = 0.57
 
 # Minimum edge confidence for clustering (reference config.yml:234
 # `min_edge_confidence: 0.65` consumed at src/classifying.py:2199-2209).
@@ -68,7 +74,7 @@ MIN_EDGE_CONFIDENCE = 0.65
 # Trained models carry their own precision-targeted edge threshold (see
 # operators/scoring.train); this is the default-weights counterpart
 # (decision 0.56 + the reference-style safety band).
-DEFAULT_EDGE_THRESHOLD = 0.7
+DEFAULT_EDGE_THRESHOLD = 0.67
 
 # Birth/death year tolerance (reference config.yml:330, used at
 # src/feature_engineering.py:1174-1302).
@@ -112,21 +118,22 @@ FEATURE_COLS = [
 ]
 
 # Default pre-trained weights: fit by entity_resolver_spark.operators.scoring
-# on the deterministic datagen corpus (seed 42); regenerate with
+# on the deterministic 3000-entity datagen corpus (seed 42, stratified split,
+# context-token vectors); regenerate with
 # `python -m entity_resolver_spark.operators.scoring`. Inference never loads a
 # model object — these become literals in the scoring expression (the
 # reference's sigma(X.w + b), src/training.py:371-497).
 DEFAULT_WEIGHTS: dict[str, float] = {
-    "name_jw": 0.2117,
-    "name_lev_sim": 0.1004,
-    "text_cosine": 1.7144,
-    "name_text_squared": 1.2627,
-    "year_match": 0.1398,
-    "year_conflict": -0.1270,
-    "text_low": -2.0766,
-    "taxonomy_dissimilarity": -0.3041,
+    "name_jw": 0.1611,
+    "name_lev_sim": 0.0565,
+    "text_cosine": 1.8405,
+    "name_text_squared": 1.3511,
+    "year_match": 0.1581,
+    "year_conflict": -0.1148,
+    "text_low": -2.1551,
+    "taxonomy_dissimilarity": -0.3410,
 }
-DEFAULT_BIAS = 0.7111
+DEFAULT_BIAS = 0.5244
 
 
 @dataclass
@@ -139,7 +146,7 @@ class EngineConfig:
     name_lsh_bands: int = NAME_LSH_BANDS
     shingle_k: int = SHINGLE_K
     snm_window: int = SNM_WINDOW
-    snm_prefix_len: int = SNM_PREFIX_LEN
+    rare_shingle_max_df: int = RARE_SHINGLE_MAX_DF
     max_block_size: int = MAX_BLOCK_SIZE
     broadcast_max_records: int = BROADCAST_MAX_RECORDS
     decision_threshold: float = DECISION_THRESHOLD

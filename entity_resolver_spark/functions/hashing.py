@@ -154,7 +154,11 @@ def minhash_sig_expr(shingles: Column, n_hashes: int) -> Column:
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, shingles_col: str, n_hashes: int
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    n_hashes: int,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, shingles) -> (id, sig array<long>[n_hashes]).
 
@@ -164,16 +168,23 @@ def minhash_signature(
     reduced row per (mapper, id) — the corpus text itself never shuffles.
     (The HOF-aggregate form above avoids the shuffle but evaluates
     interpreted — measured ~10x slower per shingle.)
+
+    ``carry_cols``: extra per-id columns to carry through the aggregate
+    (functionally dependent on id; carried via first()).
     """
-    exploded = df.select(F.col(id_col), F.explode(F.col(shingles_col)).alias("_s"))
+    carry = carry_cols or []
+    exploded = df.select(
+        F.col(id_col), F.explode(F.col(shingles_col)).alias("_s"), *carry
+    )
     aggs = [
         F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}")
         for i in range(n_hashes)
-    ]
+    ] + [F.first(c).alias(c) for c in carry]
     sig = exploded.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col),
         F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"),
+        *carry,
     )
 
 

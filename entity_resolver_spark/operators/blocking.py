@@ -4,22 +4,38 @@ Replaces the reference's two blocking passes —
 * exact person-hash grouping (/root/reference/src/classifying.py:1930-1968)
 * Weaviate ANN expansion, cosine distance <= 0.18
   (/root/reference/src/classifying.py:1663-1833)
-— with three Spark-native passes that all emit (conv_id, block_key) rows into
+— with Spark-native passes that all emit (conv_id, block_key, skey) rows into
 ONE unified pair-generation join:
 
-  B1 exact      : block_key = name_hash                       (J3)
-  B2 sorted-ngh : rank within name-prefix partition, overlapping rank buckets
-                  -> neighbors within SNM_WINDOW share a bucket (north_rule's
-                  "sorted-neighborhood on normalized name/text keys")
+  B1 exact      : block_key = name_hash / sorted-token name hash     (J3)
+  B2 sorted-ngh : GLOBAL rank under a range partitioning, overlapping rank
+                  buckets -> neighbors within SNM_WINDOW/2 share a bucket
+                  (north_rule's "sorted-neighborhood on normalized name/text
+                  keys"); no per-prefix Window, no single-task sort
   B3 minhash-lsh: banded MinHash over word shingles of norm_text (north_rule's
                   "MinHash-LSH on token shingles"; replaces the ANN join J4)
+  B4 name-lsh   : banded MinHash over char 3-grams of the name key
+  B5 anchors    : for EVERY name token (len >= 3), three keys pairing the
+                  anchor with the sorted initials of the other tokens:
+                  token | soundex(token) | sorted-chars(token). The
+                  multi-anchor form is order/length symmetric ("Turing,
+                  Rosalind" and "Turing, R." both emit turing|r even though
+                  their LONGEST token differs), soundex catches phonetic
+                  typos, and the sorted-chars (anagram) key catches
+                  adjacent-transposition typos that change soundex ("Mnedel"
+                  -> M340 vs "Mendel" -> M534: soundex collapses same-code
+                  adjacent letters THROUGH the first letter, so swaps across
+                  position 0 break it; the char multiset is swap-invariant).
 
 Pair generation is a single self-equi-join on block_key with a skew guard:
-hot blocks (> max_block_size members) are deterministically split into salted
-sub-blocks, bounding any block's pair fan-out at cap^2 while keeping the join
-shuffle balanced (north_rule's "salted repartitioning on blocking keys").
-Forgone cross-sub-block pairs are observable in the metrics the pipeline
-records per stage.
+hot blocks (> max_block_size members) are split into RANK-ORDERED overlapping
+sub-blocks under (skey, conv_id) order — two bucketings offset by half the
+cap, so members within cap/2 ranks of each other always still share a
+sub-block (north_rule's "salted repartitioning on blocking keys"). Because
+members are ordered by the sorted name key, the pairs a split forgoes are the
+name-distant ones; same-name neighbors stay together. The forgone-pair count
+is exact and observable via ``hot_block_metrics`` (recorded per run by the
+pipeline).
 """
 
 from __future__ import annotations
@@ -35,15 +51,16 @@ from entity_resolver_spark.functions.hashing import (
 )
 
 
+def _name_tokens() -> F.Column:
+    return F.filter(F.split(F.col("name_key"), r"\s+"), lambda t: t != "")
+
+
 def _sorted_name_key() -> F.Column:
     """Word-order-insensitive name key: sorted tokens of name_key. Handles
     'Franz Schubert' vs 'Schubert, Franz' (normalization already dropped the
     comma) — the reference gets this for free because its `person` field is
     already authority-formatted; transcripts aren't."""
-    return F.array_join(
-        F.array_sort(F.filter(F.split(F.col("name_key"), r"\s+"), lambda t: t != "")),
-        " ",
-    )
+    return F.array_join(F.array_sort(_name_tokens()), " ")
 
 
 def _named(key: F.Column) -> F.Column:
@@ -78,38 +95,126 @@ def _explode_keys(records: DataFrame, key_arrays: list[F.Column]) -> DataFrame:
     return records.select(
         "conv_id",
         F.explode(F.filter(keys, lambda k: k.isNotNull())).alias("block_key"),
+        _sorted_name_key().alias("skey"),
+    )
+
+
+def _sorted_chars(t: F.Column) -> F.Column:
+    """Characters of a token, sorted — invariant under adjacent swaps."""
+    return F.concat_ws("", F.array_sort(F.filter(F.split(t, ""), lambda c: c != "")))
+
+
+def _anchor_key_arrays() -> list[F.Column]:
+    """B5: per-token anchor keys. For each name token t (len >= 3), pair an
+    anchor form of t with the sorted first letters of the OTHER tokens.
+    Symmetric in which token is the surname — 'rosalind turing' emits both
+    (rosalind|t) and (turing|r), so 'turing r' meets it at turing|r no matter
+    which token is longer (the old longest-token-as-surname heuristic broke
+    exactly there). Three anchor forms per token: identity (initialisms),
+    soundex (phonetic typos), sorted chars (transposition typos)."""
+    toks = _name_tokens()
+    idx = F.sequence(F.lit(1), F.size(toks))
+
+    def initials_excl(i: F.Column) -> F.Column:
+        others = F.filter(toks, lambda t, j: j != (i - 1))
+        return F.array_join(
+            F.array_sort(F.transform(others, lambda t: F.substring(t, 1, 1))), ""
+        )
+
+    def fam(tag: str, fn):
+        def one(i: F.Column) -> F.Column:
+            t = F.element_at(toks, i)
+            return F.when(
+                F.length(t) >= 3,
+                F.concat(
+                    F.lit(tag),
+                    F.xxhash64(
+                        F.concat_ws("|", fn(t), initials_excl(i))
+                    ).cast("string"),
+                ),
+            )
+
+        return F.when(F.size(toks) > 0, F.transform(idx, one))
+
+    return [
+        fam("i:", lambda t: t),
+        fam("p:", F.soundex),
+        fam("a:", _sorted_chars),
+    ]
+
+
+def initials_blocks(records: DataFrame) -> DataFrame:
+    """B5 identity anchors as standalone rows — audit/compat surface."""
+    return _explode_keys(records, [_anchor_key_arrays()[0]])
+
+
+def soundex_blocks(records: DataFrame) -> DataFrame:
+    """B5 soundex anchors as standalone rows — audit/compat surface."""
+    return _explode_keys(records, [_anchor_key_arrays()[1]])
+
+
+def anagram_blocks(records: DataFrame) -> DataFrame:
+    """B5 sorted-chars anchors as standalone rows — audit/compat surface."""
+    return _explode_keys(records, [_anchor_key_arrays()[2]])
+
+
+def _global_rank(df: DataFrame, sort_cols: list[str]) -> DataFrame:
+    """Append a 0-based GLOBAL row index under ``sort_cols`` order, scalably:
+    range-repartition on the sort key (balanced partitions regardless of key
+    skew — ties spread across partitions because the partitioner sees the
+    full tuple), rank per partition locally, then shift by per-partition
+    offsets (one count per partition, collected to the driver — O(partitions)
+    rows, not data). This replaces a per-prefix Window whose hottest prefix
+    was one task sorting an unbounded slice — the non-scalable shape.
+    """
+    parts = df.repartitionByRange(*sort_cols)
+    stamped = parts.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    counts = {
+        r["_pid"]: r["n"]
+        for r in stamped.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return stamped.withColumn("_rank", F.lit(0).cast("long"))
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    )
+    win = Window.partitionBy("_pid").orderBy(*sort_cols)
+    return stamped.withColumn(
+        "_rank",
+        (F.row_number().over(win) - 1 + omap[F.col("_pid")]).cast("long"),
     )
 
 
 def sorted_neighborhood_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """B2: sorted-neighborhood via overlapping rank buckets.
+    """B2: sorted-neighborhood via overlapping GLOBAL rank buckets.
 
-    Within each name-key prefix partition, records are ranked by
-    (name_key, conv_id); two bucketings offset by half a window guarantee any
-    two records within ``snm_window/2`` ranks share at least one bucket. This
-    is the scalable SNM formulation: no global sort, no single-partition
-    Window — the Window partitions by prefix, so parallelism = #prefixes.
+    Records are globally ranked by the sort key (see ``_global_rank``); two
+    bucketings offset by half a window guarantee any two records within
+    ``snm_window/2`` ranks share at least one bucket. Two sort keys: the name
+    as-is (initials sort next to their expansions: "ramanujan j" ~ "ramanujan
+    joseph") and the token-sorted form (word order swaps: "franz schubert" ~
+    "schubert franz").
     """
     w = cfg.snm_window
     base = records.select("conv_id", "name_key").where(F.col("name_key") != "")
     out = None
-    # Two sort keys: the name as-is (initials sort next to their expansions:
-    # "ramanujan j" ~ "ramanujan joseph") and the token-sorted form (word
-    # order swaps: "franz schubert" ~ "schubert franz").
     for tag, key in (("n", F.col("name_key")), ("o", _sorted_name_key())):
-        win = Window.partitionBy("_pfx").orderBy("_skey", "conv_id")
-        ranked = (
-            base.withColumn("_skey", key)
-            .withColumn("_pfx", F.substring(F.col("_skey"), 1, cfg.snm_prefix_len))
-            .withColumn("_rank", F.row_number().over(win))
+        keyed = base.select(
+            "conv_id", key.alias("_skey"), _sorted_name_key().alias("skey")
         )
+        ranked = _global_rank(keyed, ["_skey", "conv_id"])
         for off in (0, w // 2):
             b = ranked.select(
                 "conv_id",
                 F.concat_ws(
-                    ":", F.lit(f"s{tag}{off}"), F.col("_pfx"),
+                    ":", F.lit(f"s{tag}{off}"),
                     F.floor((F.col("_rank") + off) / w).cast("string"),
                 ).alias("block_key"),
+                "skey",
             )
             out = b if out is None else out.unionByName(b)
     return out
@@ -120,12 +225,16 @@ def minhash_lsh_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
     Signature via explode+groupBy (codegen'd hashes; partial aggregation
     keeps the shuffle to one reduced row per (mapper, record))."""
     with_shingles = records.select(
-        "conv_id", shingles_expr(F.col("tokens"), cfg.shingle_k).alias("_sh")
+        "conv_id",
+        shingles_expr(F.col("tokens"), cfg.shingle_k).alias("_sh"),
+        _sorted_name_key().alias("skey"),
     )
-    sig = minhash_signature(with_shingles, "conv_id", "_sh", cfg.minhash_hashes)
+    sig = minhash_signature(
+        with_shingles, "conv_id", "_sh", cfg.minhash_hashes, carry_cols=["skey"]
+    )
     keys = lsh_band_keys(F.col("sig"), cfg.minhash_hashes, cfg.minhash_bands)
     tagged = F.transform(keys, lambda k: F.concat(F.lit("m"), k))
-    return sig.select("conv_id", F.explode(tagged).alias("block_key"))
+    return sig.select("conv_id", F.explode(tagged).alias("block_key"), "skey")
 
 
 def name_lsh_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -144,115 +253,168 @@ def name_lsh_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
         ),
     ).otherwise(F.array(skey))
     with_grams = records.where(F.col("name_key") != "").select(
-        "conv_id", grams.alias("_g")
+        "conv_id", grams.alias("_g"), skey.alias("skey")
     )
-    sig = minhash_signature(with_grams, "conv_id", "_g", cfg.name_lsh_hashes)
+    sig = minhash_signature(
+        with_grams, "conv_id", "_g", cfg.name_lsh_hashes, carry_cols=["skey"]
+    )
     keys = lsh_band_keys(F.col("sig"), cfg.name_lsh_hashes, cfg.name_lsh_bands)
     tagged = F.transform(keys, lambda k: F.concat(F.lit("g"), k))
-    return sig.select("conv_id", F.explode(tagged).alias("block_key"))
+    return sig.select("conv_id", F.explode(tagged).alias("block_key"), "skey")
 
 
-def _surname_initials() -> tuple[F.Column, F.Column]:
-    toks = F.filter(F.split(F.col("name_key"), r"\s+"), lambda t: t != "")
-    longest = F.array_max(
-        F.transform(toks, lambda t: F.struct(F.length(t).alias("l"), t.alias("t")))
-    )["t"]
-    initials = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.transform(toks, lambda t: F.when(t != longest, F.substring(t, 1, 1))),
-                lambda x: x.isNotNull(),
-            )
-        ),
-        "",
-    )
-    return longest, initials
+def rare_shingle_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """B7: inverted index on RARE text shingles — block key = any distinct
+    word shingle whose document frequency is <= ``rare_shingle_max_df``.
 
+    Near-duplicate texts share many shingles, and the rare ones identify the
+    family almost uniquely, so this pass catches pairs whose NAMES are
+    unusable (the measured residual at 24k entities: typo-mangled hyphenated
+    surnames truncated by name extraction — 3039 missed pairs; this pass
+    recovers ~96% of them at ~20% extra candidate volume, where widening SNM
+    or MinHash bands bought nothing or cost 2-3x). The df cap bounds junk:
+    a shingle can emit at most C(df_max, 2) pairs.
 
-def _initials_key() -> F.Column:
-    """B5: initials-folded key — the longest name token (surname heuristic)
-    plus the sorted first letters of the remaining tokens. 'riemann charles'
-    and 'riemann c' both key to 'riemann|c'; catches initialisms that defeat
-    both exact and char-gram passes."""
-    longest, initials = _surname_initials()
-    return _named(
-        F.concat(
-            F.lit("i:"), F.xxhash64(F.concat_ws("|", longest, initials)).cast("string")
+    Shape for 100 TB: shingles are hashed early (64-bit; a collision only
+    adds a spurious block), df comes from a map-side-combining groupBy (tiny
+    shuffle — one row per distinct shingle), and the join back PROBES with
+    the doc-shingle rows against the rare subset; hot shingles are filtered
+    out of the build side so no reduce task owns a mega-key, and AQE splits
+    any skewed probe partition. A count-Window over the shingle would instead
+    ship every instance of every hot shingle to one task.
+    """
+    if cfg.rare_shingle_max_df <= 1:
+        return records.sparkSession.createDataFrame(
+            [], "conv_id string, block_key string, skey string"
         )
+    sh = records.select(
+        "conv_id",
+        F.explode(
+            F.array_distinct(shingles_expr(F.col("tokens"), cfg.shingle_k))
+        ).alias("_g"),
+        _sorted_name_key().alias("skey"),
+    ).select("conv_id", F.xxhash64("_g").alias("_gh"), "skey")
+    sh = sh.localCheckpoint()  # scanned twice: df agg + probe
+    rare = (
+        sh.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= cfg.rare_shingle_max_df)
+        .select("_gh")
     )
-
-
-def initials_blocks(records: DataFrame) -> DataFrame:
-    """B5 as standalone rows — audit/compat surface."""
-    return _explode_keys(records, [F.array(_initials_key())])
-
-
-def _soundex_key() -> F.Column:
-    """B6: phonetic key — soundex of the longest name token (surname
-    heuristic) + sorted initials of the rest. Catches typo'd surnames with
-    simultaneously initialed/expanded given names ('noteher andrey' ~
-    'noether a'), which defeat both char-gram LSH (shingle Jaccard ~0.25)
-    and SNM ordering. Native ``F.soundex``; the reference gets this class of
-    match from embedding ANN semantics."""
-    longest, initials = _surname_initials()
-    return _named(
-        F.concat(
-            F.lit("p:"),
-            F.xxhash64(F.concat_ws("|", F.soundex(longest), initials)).cast("string"),
-        )
+    return sh.join(rare, "_gh").select(
+        "conv_id",
+        F.concat(F.lit("r"), F.col("_gh").cast("string")).alias("block_key"),
+        "skey",
     )
-
-
-def soundex_blocks(records: DataFrame) -> DataFrame:
-    """B6 as standalone rows — audit/compat surface."""
-    return _explode_keys(records, [F.array(_soundex_key())])
 
 
 def all_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Union of all blocking passes: (conv_id, block_key).
+    """Union of all blocking passes: (conv_id, block_key, skey).
 
-    The cheap per-record passes (exact, initials, soundex) fuse into ONE scan
-    of records (one select, one explode). The two MinHash-LSH passes go
-    through explode+groupBy signatures (codegen'd; partial aggregation keeps
-    their shuffles to one reduced row per mapper x record — the corpus text
-    never shuffles), and SNM keeps its rank windows. Four branches total.
+    ``skey`` (the sorted-token name key) rides along so ``split_hot_blocks``
+    can order hot-block members by name — splits then forgo name-DISTANT
+    pairs, not arbitrary ones.
+
+    The cheap per-record passes (exact, anchor battery) fuse into ONE scan of
+    records (one select, one explode). The two MinHash-LSH passes go through
+    explode+groupBy signatures (codegen'd; partial aggregation keeps their
+    shuffles to one reduced row per mapper x record — the corpus text never
+    shuffles), and SNM uses range-partitioned global ranks. Four branches.
     """
-    fused = _explode_keys(
-        records,
-        [
-            *_exact_key_exprs(),
-            F.array(_initials_key()),
-            F.array(_soundex_key()),
-        ],
-    )
+    fused = _explode_keys(records, [*_exact_key_exprs(), *_anchor_key_arrays()])
     return (
         fused.unionByName(sorted_neighborhood_blocks(records, cfg))
         .unionByName(minhash_lsh_blocks(records, cfg))
         .unionByName(name_lsh_blocks(records, cfg))
+        .unionByName(rare_shingle_blocks(records, cfg))
     )
 
 
 def split_hot_blocks(blocks: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Skew guard: split blocks larger than max_block_size into salted
-    sub-blocks via a deterministic hash of the member id. AQE handles moderate
-    skew at join time; this bounds the *algorithmic* quadratic pair blow-up of
-    pathological blocks (e.g. an empty-text shingle bucket).
+    """Skew guard: blocks larger than ``max_block_size`` are split into
+    RANK-ORDERED overlapping sub-blocks. Members are ranked within the block
+    by (skey, conv_id); two interval bucketings of the rank line offset by
+    cap/2 guarantee members within cap/2 ranks still share a sub-block, so
+    with name-sorted order the forgone pairs are the name-distant ones. AQE
+    handles moderate skew at join time; this bounds the *algorithmic*
+    quadratic pair blow-up of pathological blocks (e.g. an empty-text shingle
+    bucket). Forgone pairs are exactly countable — see ``hot_block_metrics``.
 
-    Sizes come from a count Window over block_key — ONE shuffle and one
-    evaluation of the (expensive) upstream blocks plan, where the previous
-    groupBy-sizes + join-back evaluated it twice.
+    Sizes and ranks come from ONE Window shuffle over block_key (count +
+    row_number share the sort).
     """
     cap = cfg.max_block_size
-    n = F.count(F.lit(1)).over(Window.partitionBy("block_key"))
-    salted_key = F.when(
-        n > cap,
-        F.concat_ws(
-            "#",
-            F.col("block_key"),
-            F.pmod(F.xxhash64("conv_id"), F.ceil(n / cap)).cast("string"),
+    h = max(cap // 2, 1)
+    order = ["skey", "conv_id"] if "skey" in blocks.columns else ["conv_id"]
+    w = Window.partitionBy("block_key")
+    wo = w.orderBy(*order)
+    ranked = blocks.select(
+        "conv_id",
+        "block_key",
+        F.count(F.lit(1)).over(w).alias("_n"),
+        (F.row_number().over(wo) - 1).alias("_r"),
+    )
+    keys = F.when(
+        F.col("_n") > cap,
+        F.array(
+            F.concat_ws(
+                "#", F.col("block_key"), F.floor(F.col("_r") / cap).cast("string")
+            ),
+            F.concat_ws(
+                "#", F.col("block_key"), F.lit("o"),
+                F.floor((F.col("_r") + h) / cap).cast("string"),
+            ),
         ),
-    ).otherwise(F.col("block_key"))
-    return blocks.select("conv_id", salted_key.alias("block_key"))
+    ).otherwise(F.array(F.col("block_key")))
+    return ranked.select("conv_id", F.explode(keys).alias("block_key"))
+
+
+def _sum_pairs_interval(n: F.Column, width: int, off: int) -> F.Column:
+    """Sum of C(size, 2) over the partition of [0, n) into intervals of
+    ``width`` with boundaries shifted by ``off`` (bucket = floor((r+off)/w))."""
+    first = F.least(n, F.lit(width - off) if off else F.lit(width))
+    rest = n - first
+    full = F.floor(rest / width)
+    tail = rest - full * width
+    c2 = lambda x: (x * (x - 1)) / 2  # noqa: E731
+    return c2(first) + full * c2(F.lit(width)) + c2(tail)
+
+
+def hot_block_metrics(blocks: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """One row of observability for the skew guard: how many blocks exceeded
+    the cap, how many member rows they held, and EXACTLY how many candidate
+    pairs the split forgoes (the doc contract of ``split_hot_blocks``).
+
+    For a hot block of n ordered members, retained pairs = pairs sharing a
+    bucket in either of the two offset bucketings. By inclusion-exclusion:
+    S(n, cap, 0) + S(n, cap, h) - (pairs sharing a bucket in BOTH) — and
+    since both bucketings are interval partitions of the rank line, sharing
+    both is exactly sharing a segment of the common refinement (boundaries at
+    every multiple of cap and every multiple shifted by h). With cap = 2h the
+    refinement is the h-grid.
+    """
+    cap = cfg.max_block_size
+    h = max(cap // 2, 1)
+    sizes = (
+        blocks.groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > cap)
+    )
+    n = F.col("n").cast("double")
+    total = (n * (n - 1)) / 2
+    retained = (
+        _sum_pairs_interval(n, cap, 0)
+        + _sum_pairs_interval(n, cap, h)
+        - _sum_pairs_interval(n, h, 0)
+    )
+    per_block = sizes.select(
+        "block_key", "n", (total - retained).alias("_forgone")
+    )
+    return per_block.agg(
+        F.count(F.lit(1)).alias("n_hot_blocks"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("hot_rows"),
+        F.coalesce(F.sum("_forgone"), F.lit(0.0)).cast("long").alias("forgone_pairs"),
+    )
 
 
 def pairs_from_blocks(blocks: DataFrame, materialize: bool = True) -> DataFrame:
@@ -270,6 +432,7 @@ def pairs_from_blocks(blocks: DataFrame, materialize: bool = True) -> DataFrame:
     evaluates it once per side, and every downstream action re-analyzes the
     giant expression tree on the driver.
     """
+    blocks = blocks.select("conv_id", "block_key")
     if materialize:
         blocks = blocks.localCheckpoint()
     a = blocks.alias("a")

@@ -15,6 +15,8 @@ restored by a final join.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -59,18 +61,30 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50
+    edges: DataFrame, max_iter: int = 50, reliable_every: int = 0
 ) -> DataFrame:
     """edges(src: string, dst: string) -> (id: string, component: string).
 
     component = lexicographically-minimal member id of the node's component
     (deterministic cluster labels). Nodes present only as self-edges are fine;
     isolated nodes should be appended by the caller (see ``cluster_records``).
+
+    ``reliable_every``: every K rounds, cut lineage with a RELIABLE
+    ``checkpoint()`` (requires ``sparkContext.setCheckpointDir``) instead of
+    ``localCheckpoint()``. localCheckpoint stores blocks on executors only —
+    on a real cluster an executor loss mid-loop kills the job; reliable
+    checkpoints land on the checkpoint filesystem and survive. 0 (default)
+    keeps the pure local-mode fast path; at cluster scale pass e.g. 5.
     """
     # Cut the caller's lineage once up front: the function scans `edges`
     # several times (node map, edge relabeling) and an iterative algorithm
     # must never re-evaluate an arbitrary upstream plan per scan.
     edges = edges.select("src", "dst").localCheckpoint()
+    sess = edges.sparkSession
+    if reliable_every and sess.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable_every requires sparkContext.setCheckpointDir(...)"
+        )
     ids = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -89,43 +103,58 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # The loop runs in a CHILD session (same SparkContext, private SQL conf):
+    # shuffle sizing and the AQE toggle below must not leak into — or race
+    # with — concurrent queries on the caller's session. The materialized
+    # edges cross sessions via a GLOBAL temp view — a logical-plan handle
+    # over the already-checkpointed blocks, no data movement and no Python
+    # row round-trip (df.rdd -> createDataFrame would deserialize every row
+    # through the Python worker).
+    spark = sess.newSession()
+    n_edges = e.count()
+    view = f"er_cc_edges_{uuid.uuid4().hex}"
+    e.createOrReplaceGlobalTempView(view)
+    e = spark.table(f"global_temp.{view}")
     # Size the loop's shuffles to the edge volume: each round is several tiny
     # shuffles, and running them at the session default (sized for the full
     # corpus) pays per-task overhead x partitions x rounds for nothing. The
     # match graph is orders of magnitude smaller than the pair set.
-    spark = edges.sparkSession
-    n_edges = e.count()
-    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    default_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(4, min(default_parts, n_edges // 100_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     # AQE's per-stage runtime re-planning (extra jobs, statistics collection,
     # plan re-optimization on the single-threaded driver) is pure overhead
     # for a loop whose shuffles are already sized explicitly — measured ~40%
-    # of the per-round wall at small edge counts. Restore it afterwards.
-    aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        if loop_parts < default_parts:
-            e = e.coalesce(loop_parts).localCheckpoint()
-        prev_sig = None
-        for _ in range(max_iter):
-            # one lineage cut per round: large-star feeds small-star
-            # unmaterialized (AQE coalesces the shuffles inside the round)
-            e = _small_star(_large_star(e)).localCheckpoint()
-            sig = e.agg(
-                F.count(F.lit(1)).alias("n"),
-                # decimal sum: ANSI-safe (long sum of 64-bit hashes overflows)
-                F.coalesce(
-                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
-                ).alias("h"),
-            ).collect()[0]
-            cur_sig = (sig["n"], str(sig["h"]))
-            if cur_sig == prev_sig:
-                break
-            prev_sig = cur_sig
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    # of the per-round wall at small edge counts. Child-session-scoped.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if loop_parts < default_parts:
+        e = e.coalesce(loop_parts).localCheckpoint()
+    prev_sig = None
+    for rnd in range(max_iter):
+        # one lineage cut per round: large-star feeds small-star
+        # unmaterialized; reliable checkpoint every K rounds if configured
+        e = _small_star(_large_star(e))
+        if reliable_every and (rnd + 1) % reliable_every == 0:
+            e = e.checkpoint()
+        else:
+            e = e.localCheckpoint()
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: ANSI-safe (long sum of 64-bit hashes overflows)
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        cur_sig = (sig["n"], str(sig["h"]))
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+    # hand the converged star forest back to the caller's session the same
+    # way (the final loop round left it checkpointed)
+    out_view = f"er_cc_out_{uuid.uuid4().hex}"
+    e.createOrReplaceGlobalTempView(out_view)
+    e = sess.table(f"global_temp.{out_view}")
+    sess.catalog.dropGlobalTempView(view)
     # After convergence, small-star output is a star forest: u -> root. The
     # root is the hash-order minimum; relabel with the lexicographically
     # minimal member id so cluster labels are deterministic AND meaningful

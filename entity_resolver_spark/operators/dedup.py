@@ -9,8 +9,9 @@ generalize that to document corpora at 100 TB scale:
 * minhash_dedup      — MinHash + banded LSH + bucket self-join, the standard
                        web-scale near-dup pipeline (shingle -> minhash ->
                        band -> bucket-join).
-* simhash_pairs      — 64-bit SimHash + Hamming-distance candidate pairs via
-                       band rotation.
+* simhash_pairs      — 60-bit SimHash (md5-derived, DuckDB-reproducible) +
+                       Hamming-distance candidate pairs via banding with
+                       n_bands >= max_hamming + 1 (exact recall contract).
 * ngram_jaccard_pairs— exact n-gram Jaccard via explode + self-join +
                        intersection/union counting (no hashing, SQL-oracle
                        friendly; the verification step after LSH).
@@ -39,30 +40,43 @@ from entity_resolver_spark.functions.hashing import (
 from entity_resolver_spark.functions.normalize import normalize_expr, tokens_expr
 
 
-@F.pandas_udf(T.LongType())
-def _simhash_pudf(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash per token array. Token hashes via blake2b (fixed-seed
-    deterministic across worker processes — Python's builtin hash() is not)."""
-    from hashlib import blake2b
+SIMHASH_BITS = 60
 
-    out = np.zeros(len(tokens), dtype=np.int64)
-    for i, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
-            continue
-        hs = np.frombuffer(
-            b"".join(blake2b(t.encode(), digest_size=8).digest() for t in toks),
-            dtype="<u8",
-        ).astype(np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int32
-        ) * 2 - 1
-        votes = bits.sum(axis=0)
-        fp = np.uint64(0)
-        for b in range(64):
-            if votes[b] > 0:
-                fp |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(fp)
-    return pd.Series(out)
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fp) — 60-bit SimHash per doc, fully native (no Python UDF).
+
+    Token hash = first 15 hex chars of md5 (60 bits — fits a signed long and,
+    deliberately, is bit-for-bit reproducible in DuckDB:
+    ``CAST('0x'||substr(md5(t),1,15) AS BIGINT)`` equals Spark's
+    ``conv(substring(md5(t),1,15),16,10)``), so the whole operator is
+    SQL-oracle-checkable. Per-bit votes via explode + groupBy with 60 sum
+    aggregates — the same codegen'd map-side-combine shape as MinHash
+    (functions/hashing.minhash_signature); the token text never shuffles.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        tokens_expr(normalize_expr(F.col(text_col))).alias("_t"),
+    )
+    ex = toks.select("id", F.explode_outer("_t").alias("_tok"))
+    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10).cast("long")
+    vote = lambda b: F.sum(  # noqa: E731
+        F.when(
+            F.col("_tok").isNull(), F.lit(0)
+        ).otherwise(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+    ).alias(f"_v{b}")
+    votes = ex.groupBy("id").agg(*[vote(b) for b in range(SIMHASH_BITS)])
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return votes.select("id", fp.alias("fp"))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -118,28 +132,35 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    n_bands: int = 4,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup candidates: docs whose 64-bit SimHashes are within
-    ``max_hamming`` bits. Uses the classic band trick: split the fingerprint
-    into ``n_bands`` 16-bit bands; any pair within Hamming distance
-    ``n_bands - 1`` agrees exactly on >=1 band, so a per-band equi-join finds
-    all candidates without an O(n^2) scan. SimHash itself is computed in a
-    vectorized pandas UDF (64 per-bit native aggregates make a pathological
-    expression tree)."""
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        tokens_expr(normalize_expr(F.col(text_col))).alias("_t"),
-    )
-    fp = toks.select("id", _simhash_pudf("_t").alias("fp")).persist()
+    """SimHash near-dup candidates: ALL doc pairs whose 60-bit SimHashes are
+    within ``max_hamming`` bits (exact recall contract). Classic band trick:
+    the fingerprint is split into ``n_bands`` contiguous bit ranges; a pair
+    within Hamming distance ``n_bands - 1`` must agree exactly on >= 1 band
+    (pigeonhole), so a per-band equi-join finds all candidates without an
+    O(n^2) scan. ``n_bands`` therefore DERIVES from the contract:
+    ``max(n_bands or 0, max_hamming + 1)`` — a caller-supplied band count can
+    only add bands (finer recall), never silently under-recall (the r2 bug:
+    fixed 4 bands with max_hamming 6 missed pairs whose differing bits spread
+    2+2+1+1 across bands)."""
+    bands_n = max(n_bands or 0, max_hamming + 1)
+    base_w = SIMHASH_BITS // bands_n
+    if base_w == 0:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more bands than {SIMHASH_BITS} bits"
+        )
+    fp = simhash_fingerprints(docs, id_col, text_col).persist()
     bands = None
-    for b in range(n_bands):
+    for b in range(bands_n):
+        start = b * base_w
+        width = base_w if b < bands_n - 1 else SIMHASH_BITS - start
         part = fp.select(
             "id", "fp",
             F.concat_ws(
                 ":", F.lit(str(b)),
-                F.shiftright("fp", b * (64 // n_bands))
-                .bitwiseAND(F.lit((1 << (64 // n_bands)) - 1))
+                F.shiftright("fp", start)
+                .bitwiseAND(F.lit((1 << width) - 1))
                 .cast("string"),
             ).alias("bk"),
         )

@@ -50,9 +50,16 @@ _SIDE_COLS = [
 
 
 def text_vectors(records: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """(text_hash, vector) — hashed-TF per distinct normalized text."""
-    distinct = records.select("text_hash", "tokens").dropDuplicates(["text_hash"])
-    return hashed_tf_vectors(distinct, "text_hash", "tokens", cfg.tf_dim).select(
+    """(text_hash, vector) — hashed-TF per distinct normalized text.
+
+    Uses ``context_tokens`` (text minus name-key tokens) when the records
+    carry them: identical text_hash implies identical name span, so the key
+    stays valid, and the vector measures CONTEXT — same-name confounders no
+    longer share the high-IDF name mass (see transcripts.build_entity_records).
+    """
+    col = "context_tokens" if "context_tokens" in records.columns else "tokens"
+    distinct = records.select("text_hash", col).dropDuplicates(["text_hash"])
+    return hashed_tf_vectors(distinct, "text_hash", col, cfg.tf_dim).select(
         F.col("text_hash"), F.col("vector")
     )
 

@@ -73,8 +73,16 @@ def fit_logistic(
     pos_weight: float = C.LR_CLASS_WEIGHT_POS,
     patience: int = C.LR_PATIENCE,
     seed: int = C.SEED,
+    batch_size: int | None = None,
 ) -> tuple[np.ndarray, float]:
-    """Full-batch GD logistic regression (numpy). Deterministic."""
+    """GD logistic regression (numpy). Deterministic.
+
+    ``batch_size=None`` (default) is full-batch. A value switches to
+    mini-batch SGD with per-iteration shuffles under seeds derived from the
+    base seed (reference src/training.py:228-233 derives
+    ``seed + iteration``); loss for early stopping is still evaluated
+    full-batch so the stopping criterion is comparable across modes.
+    """
     rng = np.random.RandomState(seed)
     n, d = X.shape
     w = rng.normal(0, 0.01, d)
@@ -83,13 +91,26 @@ def fit_logistic(
     sw = sw / sw.mean()
     best_loss, best = np.inf, (w.copy(), b)
     stall = 0
-    for _ in range(max_iter):
-        z = np.clip(X @ w + b, -30, 30)
-        p = 1.0 / (1.0 + np.exp(-z))
-        g_w = (X.T @ ((p - y) * sw)) / n + l2 * w
-        g_b = float(np.mean((p - y) * sw))
-        w -= lr * g_w
-        b -= lr * g_b
+    for it in range(max_iter):
+        if batch_size is not None and batch_size < n:
+            order = np.random.RandomState(seed + it + 1).permutation(n)
+            for s in range(0, n, batch_size):
+                sl = order[s : s + batch_size]
+                zb = np.clip(X[sl] @ w + b, -30, 30)
+                pb = 1.0 / (1.0 + np.exp(-zb))
+                gw = (X[sl].T @ ((pb - y[sl]) * sw[sl])) / len(sl) + l2 * w
+                gb = float(np.mean((pb - y[sl]) * sw[sl]))
+                w -= lr * gw
+                b -= lr * gb
+            z = np.clip(X @ w + b, -30, 30)
+            p = 1.0 / (1.0 + np.exp(-z))
+        else:
+            z = np.clip(X @ w + b, -30, 30)
+            p = 1.0 / (1.0 + np.exp(-z))
+            g_w = (X.T @ ((p - y) * sw)) / n + l2 * w
+            g_b = float(np.mean((p - y) * sw))
+            w -= lr * g_w
+            b -= lr * g_b
         loss = float(
             -np.mean(sw * (y * np.log(p + 1e-12) + (1 - y) * np.log(1 - p + 1e-12)))
             + 0.5 * l2 * float(w @ w)
@@ -140,10 +161,20 @@ def train(
     )
     X = rows[cols].to_numpy(dtype=np.float64)
     y = rows["label"].to_numpy(dtype=np.float64)
+    # STRATIFIED 70/30 split (reference src/training.py:1203-1218): shuffle
+    # positives and negatives independently, take 70% of each — on a skewed
+    # label set an unstratified split can starve the validation negatives
+    # that calibrate edge_threshold.
     rng = np.random.RandomState(cfg.seed)
-    idx = rng.permutation(len(y))
-    n_tr = int(len(y) * 0.7)
-    tr, va = idx[:n_tr], idx[n_tr:]
+    tr_parts, va_parts = [], []
+    for cls in (0.0, 1.0):
+        cls_idx = np.flatnonzero((y > 0.5) == (cls > 0.5))
+        cls_idx = cls_idx[rng.permutation(len(cls_idx))]
+        n_tr_c = int(len(cls_idx) * 0.7)
+        tr_parts.append(cls_idx[:n_tr_c])
+        va_parts.append(cls_idx[n_tr_c:])
+    tr = np.concatenate(tr_parts)
+    va = np.concatenate(va_parts)
     w, b = fit_logistic(X[tr], y[tr], seed=cfg.seed)
     p_va = 1.0 / (1.0 + np.exp(-np.clip(X[va] @ w + b, -30, 30)))
     t, f1_va = sweep_threshold(p_va, y[va])
@@ -206,7 +237,14 @@ def score_pairs(features: DataFrame, model: Model | None = None) -> DataFrame:
 
 
 def _retrain_defaults() -> None:  # pragma: no cover — dev utility
-    """Refit DEFAULT_WEIGHTS on the datagen corpus and print the constants."""
+    """Refit DEFAULT_WEIGHTS on the datagen corpus and print the constants.
+
+    SPARK_GRAFT_RETRAIN_ENTITIES sizes the corpus (default 3000, bench shape):
+    the confounder count scales with it, so the threshold sweep sees a
+    realistic hard-negative mass — the 300-entity fit of earlier rounds
+    under-sampled confounders and placed the operating point too low."""
+    import os
+
     from entity_resolver_spark import datagen
     from entity_resolver_spark.operators.blocking import candidate_pairs
     from entity_resolver_spark.operators.features import pair_features
@@ -214,10 +252,13 @@ def _retrain_defaults() -> None:  # pragma: no cover — dev utility
     from entity_resolver_spark.session import get_spark
 
     spark = get_spark("retrain-defaults")
-    data = datagen.generate(n_entities=300, seed=C.SEED)
+    n = int(os.environ.get("SPARK_GRAFT_RETRAIN_ENTITIES", "3000"))
+    data = datagen.generate(
+        n_entities=n, convs_per_entity=(2, 5), turns_per_conv=(3, 12), seed=C.SEED
+    )
     transcripts = datagen.to_spark(spark, data["transcripts"])
     labeled = spark.createDataFrame(data["labeled_pairs"])
-    records = build_entity_records(transcripts).persist()
+    records = build_entity_records(transcripts).localCheckpoint()
     pairs = candidate_pairs(records)
     feats = pair_features(pairs, records)
     model = train(feats, labeled)

@@ -93,6 +93,25 @@ def build_entity_records(transcripts: DataFrame) -> DataFrame:
         .withColumn("text_hash", content_hash(F.col("norm_text")))
         .withColumn("tokens", tokens_expr(F.col("norm_text")))
     )
+    # Context tokens: the text MINUS the name-key tokens (all occurrences,
+    # multiplicity preserved — array_except would dedupe and corrupt TF).
+    # Name tokens are rare corpus-wide, so IDF weights them HIGH; leaving
+    # them in the text vector makes same-name records of DIFFERENT entities
+    # (the confounder case the reference trains hardest against,
+    # src/training.py:1101-1128 hard negatives) share the dominant cosine
+    # mass. Name similarity is its own feature (name_jw/name_lev_sim); the
+    # text vector should measure context, the reference's X1-vs-X2
+    # person/composite split expressed as a column discipline.
+    name_toks = tokens_expr(F.col("name_key"))
+    records = records.withColumn(
+        "context_tokens",
+        F.when(
+            F.col("name_key") != "",
+            F.filter(
+                F.col("tokens"), lambda t: ~F.array_contains(name_toks, t)
+            ),
+        ).otherwise(F.col("tokens")),
+    )
     return records
 
 

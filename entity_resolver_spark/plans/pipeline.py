@@ -12,6 +12,7 @@ committed pair set and scores only the difference.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -92,8 +93,21 @@ class ResolutionPipeline:
         )
 
         def build_pairs() -> DataFrame:
-            blocks = split_hot_blocks(all_blocks(records, cfg), cfg)
-            return pairs_from_blocks(blocks)
+            from entity_resolver_spark.operators.blocking import hot_block_metrics
+
+            # materialize the key battery once: the skew-guard metric and the
+            # split both consume it
+            blocks = all_blocks(records, cfg).localCheckpoint()
+            hb = hot_block_metrics(blocks, cfg).collect()[0]
+            row = {
+                "stage": "pairs_skew_guard",
+                "n_hot_blocks": int(hb["n_hot_blocks"]),
+                "hot_rows": int(hb["hot_rows"]),
+                "forgone_pairs": int(hb["forgone_pairs"]),
+            }
+            self.metrics.append(row)
+            self.wh.append_metrics([row])
+            return pairs_from_blocks(split_hot_blocks(blocks, cfg))
 
         pairs = self._run_stage("pairs", build_pairs, resume)
 
@@ -221,6 +235,56 @@ class ResolutionPipeline:
         self.metrics.append(row)
         self.wh.append_metrics(self.metrics)
         return PipelineResult(clusters=self.wh.read("clusters"), metrics=self.metrics)
+
+    # ------------------------------------------------------------------
+    def write_report(
+        self, labeled: DataFrame, expected: DataFrame | None = None
+    ) -> dict:
+        """M8 evaluation-report artifact (reference training_report.json +
+        PR-curve outputs, /root/reference/src/training.py:926-1100,1313-1327):
+        persists the threshold curve, confusion matrix, and cluster summary
+        as warehouse tables (_report_*) and one JSON summary alongside the
+        state file. Requires a completed run (scored + clusters tables)."""
+        import json as _json
+
+        from entity_resolver_spark.operators.evaluation import (
+            cluster_report,
+            confusion_matrix,
+            threshold_curve,
+        )
+
+        for stage in ("scored", "clusters"):
+            if not self.wh.exists(stage):
+                raise ValueError(f"write_report needs a completed run ({stage})")
+        scored = self.wh.read("scored")
+        clusters = self.wh.read("clusters")
+        self.wh.write("_report_threshold_curve", threshold_curve(scored, labeled))
+        self.wh.write("_report_confusion", confusion_matrix(scored, labeled))
+        self.wh.write("_report_clusters", cluster_report(clusters, expected))
+        confusion = self.wh.read("_report_confusion").collect()[0].asDict()
+        summary = {
+            "model": {
+                "weights": self.model.weights,
+                "bias": self.model.bias,
+                "threshold": self.model.threshold,
+                "edge_threshold": self.model.edge_threshold,
+                "metrics": self.model.metrics,
+            },
+            "confusion": {k: float(v) for k, v in confusion.items()},
+            "cluster_summary": {
+                k: float(v) if v is not None else None
+                for k, v in self.wh.read("_report_clusters")
+                .collect()[0]
+                .asDict()
+                .items()
+            },
+        }
+        if not self.wh.use_iceberg:
+            path = os.path.join(self.wh.root, "training_report.json")
+            with open(path + ".tmp", "w") as f:
+                _json.dump(summary, f, indent=2)
+            os.replace(path + ".tmp", path)
+        return summary
 
     # ------------------------------------------------------------------
     def write_side_tables(self, resume: bool = True) -> None:

@@ -32,46 +32,77 @@ CONV_OUTPUT_DDL = (
 CONV_STATE_DDL = "n_turns long, last_role string, text_chars long"
 
 
-def _seen_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    (h,) = key
-    n_seen, first_doc = state.get if state.exists else (0, None)
-    outs = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("doc_id")
-        ids = pdf["doc_id"].to_numpy()
-        firsts = []
-        for d in ids:
-            if n_seen == 0:
-                first_doc = int(d)
-                firsts.append(True)
-            else:
-                firsts.append(False)
-            n_seen += 1
-        outs.append(
-            pd.DataFrame(
-                {
-                    "h": h,
-                    "doc_id": ids,
-                    "is_first": firsts,
-                    "n_seen": range(n_seen - len(ids) + 1, n_seen + 1),
-                }
+def _make_seen_fn(ttl_ms: int | None):
+    """Closure factory: cloudpickle ships the closure BY VALUE, so the TTL
+    reaches the executors (a module global mutated on the driver would not —
+    workers re-import the module and see the definition-time value)."""
+
+    def _seen_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (h,) = key
+        # Timed-out invocation: the key went idle past its TTL — drop the
+        # state (a later re-arrival of the hash is reported as first again;
+        # bounded state is the contract, exact-forever dedup is the batch
+        # operator's job).
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_seen, first_doc = state.get if state.exists else (0, None)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            ids = pdf["doc_id"].to_numpy()
+            firsts = []
+            for d in ids:
+                if n_seen == 0:
+                    first_doc = int(d)
+                    firsts.append(True)
+                else:
+                    firsts.append(False)
+                n_seen += 1
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "h": h,
+                        "doc_id": ids,
+                        "is_first": firsts,
+                        "n_seen": range(n_seen - len(ids) + 1, n_seen + 1),
+                    }
+                )
             )
-        )
-    state.update((n_seen, first_doc))
-    yield from outs
+        state.update((n_seen, first_doc))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield from outs
+
+    return _seen_fn
 
 
-def streaming_seen_filter(turns: DataFrame, hash_col: str = "h") -> DataFrame:
+def streaming_seen_filter(
+    turns: DataFrame, hash_col: str = "h", state_ttl_ms: int | None = None
+) -> DataFrame:
     """stream(h, doc_id) -> (h, doc_id, is_first, n_seen): exactly one row per
-    input with is_first=True only on a hash's first-ever sighting."""
+    input with is_first=True only on a hash's first-ever sighting.
+
+    ``state_ttl_ms`` bounds state on an unbounded keyspace: keys idle longer
+    than the TTL are evicted (processing-time timeout), so per-key state no
+    longer grows forever on a 100-TB stream. A hash re-arriving after
+    eviction counts as first again — the explicit trade of bounded state for
+    exactness beyond the TTL horizon. Default None keeps exact-forever
+    semantics (NoTimeout).
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return turns.groupBy(hash_col).applyInPandasWithState(
-        _seen_fn,
+        _make_seen_fn(state_ttl_ms),
         outputStructType=SEEN_OUTPUT_DDL,
         stateStructType=SEEN_STATE_DDL,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

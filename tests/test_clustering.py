@@ -70,3 +70,33 @@ def test_edge_confidence_filter(spark):
         for r in cluster_records(records, scored, min_edge_confidence=0.65).collect()
     }
     assert got == {"a": "a", "b": "b"}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable_every=K must produce identical components while cutting
+    lineage through the fault-tolerant checkpoint dir (cluster-durable path);
+    without a checkpoint dir it must refuse loudly."""
+    import networkx as nx
+
+    from entity_resolver_spark.operators.clustering import connected_components
+
+    edges = [(f"n{i}", f"n{i+1}") for i in range(0, 40, 2)] + [
+        ("n0", "n2"), ("n10", "n12"), ("n30", "n32")
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    prev = spark.sparkContext.getCheckpointDir()
+    if prev is None:
+        import pytest
+
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            connected_components(df, reliable_every=2)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, reliable_every=2).collect()
+    }
+    g = nx.Graph(edges)
+    for comp in nx.connected_components(g):
+        labels = {got[n] for n in comp}
+        assert len(labels) == 1
+        assert min(comp) in labels

@@ -119,3 +119,43 @@ def test_embedding_near_dup_lsh_matches_exact(spark):
     assert set(lsh) == set(exact)
     for k, v in lsh.items():
         assert v == pytest.approx(exact[k], abs=1e-12)
+
+
+def test_simhash_band_recall_contract(spark):
+    """simhash_pairs must return EXACTLY the pairs within max_hamming bits —
+    cross-checked against a brute-force Hamming computation over the same
+    fingerprints. Near-dup families give nonzero distances whose differing
+    bits spread across bands (the r2 bug class: a pair with bits differing
+    in every band was silently dropped when n_bands <= max_hamming)."""
+    import itertools
+
+    from entity_resolver_spark.operators.dedup import simhash_fingerprints
+
+    rng = __import__("random").Random(7)
+    vocab = [f"tok{i}" for i in range(120)]
+    rows = []
+    did = 0
+    for fam in range(8):
+        base = rng.sample(vocab, 30)
+        for v in range(5):
+            toks = [t for t in base if rng.random() > 0.1 * v]
+            rows.append((did, " ".join(toks) if toks else "empty"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for max_h in (3, 6, 10):
+        got = {
+            (r["left"], r["right"]): r["hamming"]
+            for r in simhash_pairs(docs, max_hamming=max_h).collect()
+        }
+        fps = dict(
+            (r["id"], r["fp"]) for r in simhash_fingerprints(docs).collect()
+        )
+        want = {}
+        for a, b in itertools.combinations(sorted(fps), 2):
+            d = bin(fps[a] ^ fps[b]).count("1")
+            if d <= max_h:
+                want[(a, b)] = d
+        assert got == want, f"max_hamming={max_h}"
+    # sanity: some nonzero-distance pair exists so the contract is exercised
+    got6 = simhash_pairs(docs, max_hamming=10).where("hamming > 0").count()
+    assert got6 > 0

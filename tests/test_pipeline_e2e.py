@@ -108,3 +108,33 @@ def test_pipeline_resume_mid_run(spark, transcripts, tmp_path, trained):
     recomputed = {r["stage"] for r in pipe2.spark.createDataFrame(
         [(m["stage"],) for m in pipe2.metrics] or [("",)], ["stage"]).collect()}
     assert "records" not in recomputed
+
+
+def test_pipeline_skew_metric_and_report(spark, transcripts, corpus, tmp_path, trained):
+    """The skew guard's forgone-pairs accounting is recorded per run
+    (blocking.py doc contract), and write_report persists the M8 evaluation
+    artifact (threshold curve + confusion + cluster summary + JSON)."""
+    import json
+    import os
+
+    model, _ = trained
+    wh = str(tmp_path / "whr")
+    pipe = ResolutionPipeline(spark, wh, model=model)
+    pipe.run(transcripts, resume=False)
+    metrics = pipe.wh.read("_metrics")
+    guard = metrics.where(F.col("stage") == "pairs_skew_guard")
+    assert guard.count() == 1
+    payload = json.loads(guard.collect()[0]["payload"])
+    assert payload["n_hot_blocks"] >= 0 and payload["forgone_pairs"] >= 0
+
+    labeled = spark.createDataFrame(corpus["labeled_pairs"])
+    expected = spark.createDataFrame(corpus["expected_clusters"])
+    summary = pipe.write_report(labeled, expected)
+    assert 0.0 <= summary["confusion"]["f1"] <= 1.0
+    curve = pipe.wh.read("_report_threshold_curve")
+    assert curve.count() == 19  # 0.05 .. 0.95
+    assert pipe.wh.read("_report_clusters").collect()[0]["pair_f1"] is not None
+    report_path = os.path.join(wh, "training_report.json")
+    assert os.path.exists(report_path)
+    with open(report_path) as f:
+        assert "confusion" in json.load(f)

@@ -103,3 +103,46 @@ def test_streaming_conversation_state_running_totals(spark, tmp_path):
         final[r["conv_id"]] = (r["n_turns"], r["last_role"], r["text_chars"])
     assert final["c1"] == (3, "user", len("hello") + len("hi there") + len("bye"))
     assert final["c2"] == (2, "assistant", len("x") + len("yo"))
+
+
+def test_streaming_seen_filter_ttl_evicts_idle_keys(spark, tmp_path):
+    """With state_ttl_ms set, a hash idle past the TTL is evicted and its
+    next arrival counts as a first sighting again — bounded state on an
+    unbounded keyspace (the 100-TB contract)."""
+    import time
+
+    src = tmp_path / "ttl_in"
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        pd.DataFrame({"h": [1], "doc_id": [10]})
+    ).coalesce(1).write.parquet(str(src / "d1"))
+    time.sleep(1.2)
+    spark.createDataFrame(
+        pd.DataFrame({"h": [9], "doc_id": [90]})
+    ).coalesce(1).write.parquet(str(src / "d2"))
+    time.sleep(1.2)
+    spark.createDataFrame(
+        pd.DataFrame({"h": [1], "doc_id": [11]})
+    ).coalesce(1).write.parquet(str(src / "d3"))
+    stream = (
+        spark.readStream.schema("h long, doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_seen_filter(stream, state_ttl_ms=1)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("seen_ttl")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    rows = {
+        r["doc_id"]: (r["is_first"], r["n_seen"])
+        for r in spark.sql("select * from seen_ttl").collect()
+    }
+    assert rows[10] == (True, 1)
+    # h=1 was evicted during the idle batch; doc 11 is "first" again
+    assert rows[11] == (True, 1)
