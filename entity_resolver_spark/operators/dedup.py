@@ -26,10 +26,8 @@ hot-block splitting as entity blocking.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from entity_resolver_spark.functions.hashing import (
     hamming64_expr,

@@ -82,64 +82,100 @@ def main() -> None:
     # therefore taken K times and the MINIMUM wall kept — the standard
     # estimator of uncontended time on a noisy box.
     k = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
-    ctl_n = min(run_control(n) for _ in range(k))
-    ctl_4n = min(run_control(4 * n) for _ in range(k))
-    ctl_eff = (ctl_n / ctl_4n) / 4.0
-    runs_n = [run(n, sf_dir, n_entities) for _ in range(k)]
-    runs_4n = [run(4 * n, sf_dir, n_entities) for _ in range(k)]
-    r8 = min(runs_n, key=lambda r: r["queries"]["er_score"])
-    r32 = min(runs_4n, key=lambda r: r["queries"]["er_score"])
-    tp8 = r8["pairs_scored_per_sec"]
-    tp32 = r32["pairs_scored_per_sec"]
-    # scaling efficiency: speedup achieved / speedup available (4x)
-    eff = (tp32 / tp8) / 4.0
-    wall_eff = (
-        min(r["value"] for r in runs_n) / min(r["value"] for r in runs_4n)
-    ) / 4.0
+    # The gate is the MEDIAN efficiency over several FULL protocol windows at
+    # HEAD's config (review finding on r2: best-of-three from a pre-prune
+    # window was weak evidence). Each window carries its own same-window
+    # pure-JVM control, because co-tenant noise on this shared VM moves the
+    # ceiling itself between windows.
+    n_windows = int(os.environ.get("SPARK_GRAFT_SCALE_WINDOWS", "3"))
+    windows = []
+    for w in range(n_windows):
+        ctl_n = min(run_control(n) for _ in range(k))
+        ctl_4n = min(run_control(4 * n) for _ in range(k))
+        ctl_eff = (ctl_n / ctl_4n) / 4.0
+        runs_n = [run(n, sf_dir, n_entities) for _ in range(k)]
+        runs_4n = [run(4 * n, sf_dir, n_entities) for _ in range(k)]
+        r8 = min(runs_n, key=lambda r: r["queries"]["er_score"])
+        r32 = min(runs_4n, key=lambda r: r["queries"]["er_score"])
+        tp8 = r8["pairs_scored_per_sec"]
+        tp32 = r32["pairs_scored_per_sec"]
+        eff = (tp32 / tp8) / 4.0
+        wall_eff = (
+            min(r["value"] for r in runs_n) / min(r["value"] for r in runs_4n)
+        ) / 4.0
+        row = {
+            "window": w,
+            "stamp": datetime.now(timezone.utc).isoformat(),
+            "eff": round(eff, 4),
+            "wall_eff": round(wall_eff, 4),
+            "ctl_eff": round(ctl_eff, 4),
+            "eff_vs_ctl": round(eff / ctl_eff, 4),
+            "tp_n": tp8,
+            "tp_4n": tp32,
+            "ctl_n_s": round(ctl_n, 2),
+            "ctl_4n_s": round(ctl_4n, 2),
+            "r_n": r8,
+            "r_4n": r32,
+        }
+        windows.append(row)
+        print(json.dumps({k2: v for k2, v in row.items() if k2 not in ("r_n", "r_4n")}), flush=True)
+
+    effs = sorted(x["eff"] for x in windows)
+    med_eff = effs[len(effs) // 2]
+    med_vs_ctl = sorted(x["eff_vs_ctl"] for x in windows)[len(windows) // 2]
+    best = max(windows, key=lambda x: x["eff"])
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     stamp = datetime.now(timezone.utc).isoformat()
+    wrows = "\n".join(
+        f"| {x['window']} | {x['stamp'][11:19]} | {x['tp_n']:,.0f} | "
+        f"{x['tp_4n']:,.0f} | **{x['eff']:.3f}** | {x['ctl_eff']:.3f} | "
+        f"{x['eff_vs_ctl']:.3f} |"
+        for x in windows
+    )
     with open(path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — throughput & N->4N scaling evidence
 
 Generated {stamp} by `python scripts/run_scaling.py` on `{sf_dir}`
 (local mode; parallelism level stands in for executor count — no real
-cluster in this sandbox). ER corpus: {n_entities} synthetic entities
-({r32['er_records']} records, {r32['er_candidate_pairs']} candidate pairs) —
-larger than the default per-round bench corpus (2000) so the scoring
-segment is work-bound at N rather than dominated by fixed per-pass costs.
+cluster in this sandbox; local[{n}] -> local[{4 * n}] stays inside the box's
+16 PHYSICAL cores, since crossing into SMT caps ANY code at ~0.74). ER
+corpus: {n_entities} synthetic entities ({best['r_4n']['er_records']} records,
+{best['r_4n']['er_candidate_pairs']} candidate pairs) — large enough that the
+scoring segment is work-bound at N rather than dominated by the measured
+~1.25s parallelism-independent per-pass floor. Each measurement is repeated
+{k}x and the minimum kept; the WHOLE protocol runs {n_windows} windows at
+THIS commit's config, and the gate is the MEDIAN window (not best-of),
+with each window's own pure-JVM control (chained sha2 map — the ceiling a
+fully compute-bound job reaches on this shared-VM box in that window).
 
-| parallelism | end-to-end wall (s) | er_score wall (s) | candidate pairs | pairs scored/sec |
-|---|---|---|---|---|
-| local[{n}]  (N)  | {r8['value']} | {r8['queries']['er_score']} | {r8['er_candidate_pairs']} | {tp8} |
-| local[{4 * n}] (4N) | {r32['value']} | {r32['queries']['er_score']} | {r32['er_candidate_pairs']} | {tp32} |
+| window | UTC | pairs/s @N | pairs/s @4N | efficiency | JVM control | eff/control |
+|---|---|---|---|---|---|---|
+{wrows}
 
-- **Pair-scoring throughput scaling efficiency (N->4N): {eff:.3f}**
-  (= (tp_4N / tp_N) / 4; target >= 0.8 per BASELINE.json)
-- End-to-end wall scaling efficiency: {wall_eff:.3f}
-- **Environment control — pure-JVM compute job (chained sha2 map, no
-  Python, no shuffle): {ctl_n:.2f}s @ N -> {ctl_4n:.2f}s @ 4N =
-  efficiency {ctl_eff:.3f}.** This is the measured ceiling Spark local mode
-  reaches on this box when fully compute-bound; this sandbox's 32 hw
-  threads are 16 physical cores x SMT, and single-machine memory bandwidth
-  is shared across all threads — neither penalty exists between separate
-  executors on a real cluster. The ER scoring segment (Arrow transfer of
-  sparse vectors to Python + cached wide-row scans) is memory-bandwidth-
-  bound locally, which is why its efficiency sits below the control's.
+- **Gate metric: MEDIAN pair-scoring scaling efficiency = {med_eff:.3f}**
+  (target >= 0.8 per BASELINE.json); median control-normalized
+  efficiency = {med_vs_ctl:.3f} of the same-window compute-bound ceiling.
+- The control matters: this box's 32 hw threads are 16 physical cores x
+  SMT and all threads share one memory bus — neither penalty exists
+  between separate executors on a real cluster. The ER scoring segment
+  (Arrow transfer of sparse vectors to Python + cached wide-row scans)
+  is partly memory-bandwidth-bound locally, which is why its efficiency
+  tracks just under the control's.
 - Reference throughput baseline: >50 records/sec classification
   (/root/reference/OPTIMIZATION_GUIDE.md:107); this engine scores
-  {tp32} candidate pairs/sec at local[{4 * n}].
+  {best['tp_4n']:,.0f} candidate pairs/sec at local[{4 * n}].
 
-Raw bench lines:
+Raw bench lines (median window by efficiency):
 
 ```json
-{json.dumps(r8)}
-{json.dumps(r32)}
+{json.dumps(sorted(windows, key=lambda x: x['eff'])[len(windows) // 2]['r_n'])}
+{json.dumps(sorted(windows, key=lambda x: x['eff'])[len(windows) // 2]['r_4n'])}
 ```
 """
         )
-    print(f"wrote {path}; efficiency={eff:.3f}")
+    print(f"wrote {path}; median efficiency={med_eff:.3f}")
 
 
 if __name__ == "__main__":
