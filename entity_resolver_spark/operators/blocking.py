@@ -330,43 +330,85 @@ def all_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
-def split_hot_blocks(blocks: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Skew guard: blocks larger than ``max_block_size`` are split into
-    RANK-ORDERED overlapping sub-blocks. Members are ranked within the block
-    by (skey, conv_id); two interval bucketings of the rank line offset by
-    cap/2 guarantee members within cap/2 ranks still share a sub-block, so
-    with name-sorted order the forgone pairs are the name-distant ones. AQE
-    handles moderate skew at join time; this bounds the *algorithmic*
-    quadratic pair blow-up of pathological blocks (e.g. an empty-text shingle
-    bucket). Forgone pairs are exactly countable — see ``hot_block_metrics``.
+# Blocks larger than max_block_size * this multiplier skip the rank-ordered
+# split (whose per-block sort a single task must perform) and fall back to a
+# stateless hash salt. Blocks that big are junk buckets by construction —
+# ordering adds nothing there, and at web scale a mega-block must never
+# serialize through one sort task.
+ORDERED_SPLIT_MULT = 32
 
-    Sizes and ranks come from ONE Window shuffle over block_key (count +
-    row_number share the sort).
+
+def split_hot_blocks(
+    blocks: DataFrame, cfg: EngineConfig, materialized: bool = False
+) -> DataFrame:
+    """Skew guard: blocks larger than ``max_block_size`` are split into
+    sub-blocks; pair fan-out per block is bounded at ~cap^2.
+
+    Three routes by block size n (sizes from a map-side-combining groupBy,
+    joined back — NOT a count Window, which would ship every instance of the
+    hottest key to one task):
+
+    * n <= cap — untouched.
+    * cap < n <= cap*ORDERED_SPLIT_MULT — RANK-ORDERED overlapping split:
+      members ranked by (skey, conv_id); two interval bucketings offset by
+      cap/2 guarantee members within cap/2 ranks still share a sub-block, so
+      with name-sorted order the forgone pairs are the name-DISTANT ones
+      (the split that saved this round's quality-at-scale gate). The rank
+      Window only ever sees these bounded blocks — per-task sort <= cap*MULT
+      rows per block.
+    * n > cap*ORDERED_SPLIT_MULT — stateless hash salt on the member id:
+      no sort anywhere, and because the salt is a projection, AQE's skew
+      handling can split the mega-key's join partitions freely.
+
+    Forgone pairs are exactly countable — see ``hot_block_metrics``.
     """
     cap = cfg.max_block_size
     h = max(cap // 2, 1)
+    mega = cap * ORDERED_SPLIT_MULT
     order = ["skey", "conv_id"] if "skey" in blocks.columns else ["conv_id"]
-    w = Window.partitionBy("block_key")
-    wo = w.orderBy(*order)
-    ranked = blocks.select(
-        "conv_id",
-        "block_key",
-        F.count(F.lit(1)).over(w).alias("_n"),
-        (F.row_number().over(wo) - 1).alias("_r"),
+    if not materialized:
+        # the sizes aggregate and the join probe each scan `blocks`; an
+        # un-materialized key-battery plan must not be evaluated twice
+        # (callers that already checkpointed pass materialized=True)
+        blocks = blocks.localCheckpoint()
+    sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("_n"))
+    b = blocks.join(sizes, "block_key")
+
+    small = b.where(F.col("_n") <= cap).select("conv_id", "block_key")
+
+    wo = Window.partitionBy("block_key").orderBy(*order)
+    med = (
+        b.where((F.col("_n") > cap) & (F.col("_n") <= mega))
+        .select(
+            "conv_id", "block_key", (F.row_number().over(wo) - 1).alias("_r")
+        )
+        .select(
+            "conv_id",
+            F.explode(
+                F.array(
+                    F.concat_ws(
+                        "#", F.col("block_key"),
+                        F.floor(F.col("_r") / cap).cast("string"),
+                    ),
+                    F.concat_ws(
+                        "#", F.col("block_key"), F.lit("o"),
+                        F.floor((F.col("_r") + h) / cap).cast("string"),
+                    ),
+                )
+            ).alias("block_key"),
+        )
     )
-    keys = F.when(
-        F.col("_n") > cap,
-        F.array(
-            F.concat_ws(
-                "#", F.col("block_key"), F.floor(F.col("_r") / cap).cast("string")
-            ),
-            F.concat_ws(
-                "#", F.col("block_key"), F.lit("o"),
-                F.floor((F.col("_r") + h) / cap).cast("string"),
-            ),
-        ),
-    ).otherwise(F.array(F.col("block_key")))
-    return ranked.select("conv_id", F.explode(keys).alias("block_key"))
+
+    big = b.where(F.col("_n") > mega).select(
+        "conv_id",
+        F.concat_ws(
+            "#",
+            F.col("block_key"),
+            F.lit("h"),
+            F.pmod(F.xxhash64("conv_id"), F.ceil(F.col("_n") / cap)).cast("string"),
+        ).alias("block_key"),
+    )
+    return small.unionByName(med).unionByName(big)
 
 
 def _sum_pairs_interval(n: F.Column, width: int, off: int) -> F.Column:
@@ -384,17 +426,23 @@ def hot_block_metrics(blocks: DataFrame, cfg: EngineConfig) -> DataFrame:
     """One row of observability for the skew guard: how many blocks exceeded
     the cap, how many member rows they held, and EXACTLY how many candidate
     pairs the split forgoes (the doc contract of ``split_hot_blocks``).
+    Pass the same (ideally materialized) blocks the split consumes.
 
-    For a hot block of n ordered members, retained pairs = pairs sharing a
-    bucket in either of the two offset bucketings. By inclusion-exclusion:
-    S(n, cap, 0) + S(n, cap, h) - (pairs sharing a bucket in BOTH) — and
-    since both bucketings are interval partitions of the rank line, sharing
-    both is exactly sharing a segment of the common refinement (boundaries at
-    every multiple of cap and every multiple shifted by h). With cap = 2h the
-    refinement is the h-grid.
+    Rank-split blocks (cap < n <= cap*ORDERED_SPLIT_MULT): retained pairs =
+    pairs sharing a bucket in either of the two offset bucketings. By
+    inclusion-exclusion: S(n, cap, 0) + S(n, cap, h) - (pairs sharing a
+    bucket in BOTH) — and since both bucketings are interval partitions of
+    the rank line, sharing both is exactly sharing a segment of the common
+    refinement (with cap = 2h, the h-grid). Closed form from n alone.
+
+    Hash-salted mega blocks (n > cap*ORDERED_SPLIT_MULT): retained depends
+    on the realized hash bucket sizes, so it is computed from the data —
+    sum of C(bucket_size, 2) over the actual salt assignment (mega blocks
+    are few; this scans only their rows).
     """
     cap = cfg.max_block_size
     h = max(cap // 2, 1)
+    mega = cap * ORDERED_SPLIT_MULT
     sizes = (
         blocks.groupBy("block_key")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -402,14 +450,29 @@ def hot_block_metrics(blocks: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
     n = F.col("n").cast("double")
     total = (n * (n - 1)) / 2
-    retained = (
+    retained_ranked = (
         _sum_pairs_interval(n, cap, 0)
         + _sum_pairs_interval(n, cap, h)
         - _sum_pairs_interval(n, h, 0)
     )
-    per_block = sizes.select(
-        "block_key", "n", (total - retained).alias("_forgone")
+    ordered = sizes.where(F.col("n") <= mega).select(
+        "block_key", "n", (total - retained_ranked).alias("_forgone")
     )
+    mega_sizes = sizes.where(F.col("n") > mega)
+    bkt = F.pmod(F.xxhash64("conv_id"), F.ceil(F.col("n") / cap))
+    mega_buckets = (
+        blocks.join(mega_sizes, "block_key")
+        .select("block_key", "n", bkt.alias("_b"))
+        .groupBy("block_key", "n", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    c = F.col("_c").cast("double")
+    mega_per_block = mega_buckets.groupBy("block_key", "n").agg(
+        F.sum((c * (c - 1)) / 2).alias("_retained")
+    ).select(
+        "block_key", "n", (total - F.col("_retained")).alias("_forgone")
+    )
+    per_block = ordered.unionByName(mega_per_block)
     return per_block.agg(
         F.count(F.lit(1)).alias("n_hot_blocks"),
         F.coalesce(F.sum("n"), F.lit(0)).alias("hot_rows"),
@@ -450,8 +513,8 @@ def pairs_from_blocks(blocks: DataFrame, materialize: bool = True) -> DataFrame:
 
 def candidate_pairs(records: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
     cfg = cfg or EngineConfig()
-    blocks = split_hot_blocks(all_blocks(records, cfg), cfg)
-    return pairs_from_blocks(blocks)
+    blocks = all_blocks(records, cfg).localCheckpoint()
+    return pairs_from_blocks(split_hot_blocks(blocks, cfg, materialized=True))
 
 
 def blocking_recall(pairs: DataFrame, labeled: DataFrame) -> float:

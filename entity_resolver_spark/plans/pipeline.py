@@ -107,7 +107,9 @@ class ResolutionPipeline:
             }
             self.metrics.append(row)
             self.wh.append_metrics([row])
-            return pairs_from_blocks(split_hot_blocks(blocks, cfg))
+            return pairs_from_blocks(
+                split_hot_blocks(blocks, cfg, materialized=True)
+            )
 
         pairs = self._run_stage("pairs", build_pairs, resume)
 
@@ -186,9 +188,13 @@ class ResolutionPipeline:
             .join(new_ids.withColumnRenamed("conv_id", "left"), "left", "left_anti")
             .join(new_ids.withColumnRenamed("conv_id", "right"), "right", "left_anti")
         )
-        # lineage cut: the blocks plan is scanned three times below (semi-join
-        # probe, touched expansion, pair join) — compute the key battery once
-        blocks = split_hot_blocks(all_blocks(records, cfg), cfg).localCheckpoint()
+        # lineage cut: the key battery is scanned by the split's sizes join
+        # AND the split output three times below (semi-join probe, touched
+        # expansion, pair join) — materialize both once
+        raw_blocks = all_blocks(records, cfg).localCheckpoint()
+        blocks = split_hot_blocks(
+            raw_blocks, cfg, materialized=True
+        ).localCheckpoint()
         new_blocks = blocks.join(new_ids, "conv_id", "left_semi")
         touched = (
             new_blocks.select("block_key").distinct().join(blocks, "block_key")

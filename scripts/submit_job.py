@@ -1,0 +1,79 @@
+"""spark-submit entrypoint for the resolution pipeline (north_rule: "run via
+spark-submit --py-files on a multi-executor cluster").
+
+Package and submit:
+
+    cd /root/repo && zip -qr /tmp/entity_resolver_spark.zip entity_resolver_spark
+    spark-submit --py-files /tmp/entity_resolver_spark.zip \
+        scripts/submit_job.py \
+        --input /path/to/transcripts.parquet \
+        --warehouse /path/to/warehouse \
+        [--input-table catalog.db.transcripts]   # Iceberg table instead of path
+        [--model /path/to/model.json] [--resume] [--report-labeled labeled.parquet]
+
+The transcripts input must have columns
+(conv_id string, turn_idx int, role string, text string, tool string,
+ ts timestamp) — BASELINE.json input_hint. On a cluster the warehouse should
+be an Iceberg namespace (sources/catalog auto-detects configured catalogs);
+in plain deployments it is a parquet directory with atomic-rename commits.
+All session tuning (shuffle partitions, AQE, Arrow batch size) comes from
+spark-submit --conf, not from code — this entrypoint uses the session it is
+given, so N-vs-4N executor runs differ only in cluster size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="transcripts parquet path")
+    p.add_argument("--input-table", help="transcripts table name (e.g. Iceberg)")
+    p.add_argument("--warehouse", required=True, help="stage-table root/namespace")
+    p.add_argument("--model", help="Model JSON (weights/bias/thresholds)")
+    p.add_argument("--resume", action="store_true", help="skip completed stages")
+    p.add_argument(
+        "--incremental", help="parquet path of NEW transcripts to fold into a run"
+    )
+    p.add_argument(
+        "--report-labeled", help="labeled pairs parquet -> write_report artifact"
+    )
+    p.add_argument("--output", help="optional parquet path for the cluster table")
+    args = p.parse_args(argv)
+    if not args.input and not args.input_table:
+        p.error("one of --input / --input-table is required")
+
+    # Import AFTER argparse so --help works without a JVM.
+    from pyspark.sql import SparkSession
+
+    from entity_resolver_spark.operators.scoring import Model
+    from entity_resolver_spark.plans.pipeline import ResolutionPipeline
+
+    spark = SparkSession.builder.appName("entity-resolver-spark").getOrCreate()
+    model = None
+    if args.model:
+        with open(args.model) as f:
+            model = Model.from_json(f.read())
+    pipe = ResolutionPipeline(spark, args.warehouse, model=model)
+    transcripts = (
+        spark.read.table(args.input_table)
+        if args.input_table
+        else spark.read.parquet(args.input)
+    )
+    if args.incremental:
+        result = pipe.run_incremental(spark.read.parquet(args.incremental))
+    else:
+        result = pipe.run(transcripts, resume=args.resume)
+    n = result.clusters.count()
+    if args.output:
+        result.clusters.write.mode("overwrite").parquet(args.output)
+    if args.report_labeled:
+        pipe.write_report(spark.read.parquet(args.report_labeled))
+    print(f"clusters committed: {n} records -> {pipe.wh.root}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

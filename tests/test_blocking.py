@@ -145,3 +145,30 @@ def test_nameless_records_keep_text_blocks(spark):
     assert m_keys > 0, "nameless records lost their text-LSH blocks"
     pairs = candidate_pairs(records, EngineConfig()).collect()
     assert {(r["left"], r["right"]) for r in pairs} == {("n1", "n2")}
+
+
+def test_mega_block_hash_salt_route(spark):
+    """Blocks beyond cap*ORDERED_SPLIT_MULT skip the rank sort and get a
+    stateless hash salt; hot_block_metrics stays EXACT there too (retained
+    computed from the realized bucket sizes)."""
+    from entity_resolver_spark.operators.blocking import (
+        ORDERED_SPLIT_MULT,
+        hot_block_metrics,
+    )
+
+    cfg = EngineConfig(max_block_size=4)
+    n = 4 * ORDERED_SPLIT_MULT + 72  # 200 > mega threshold (128)
+    blocks = spark.createDataFrame(
+        [(f"id{i:04d}", "mega") for i in range(n)], ["conv_id", "block_key"]
+    )
+    salted = split_hot_blocks(blocks, cfg)
+    sizes = [r["count"] for r in salted.groupBy("block_key").count().collect()]
+    # hash salt: ~ceil(n/cap) buckets (hash may leave a few empty); sizes
+    # concentrate near cap
+    assert len(sizes) >= (n // cfg.max_block_size) // 2
+    assert sum(sizes) == n  # every member lands in exactly one sub-block
+    assert max(sizes) <= cfg.max_block_size * 6  # loose Poisson bound
+    retained = pairs_from_blocks(salted).count()
+    m = hot_block_metrics(blocks, cfg).collect()[0]
+    assert m["n_hot_blocks"] == 1 and m["hot_rows"] == n
+    assert m["forgone_pairs"] == n * (n - 1) // 2 - retained
