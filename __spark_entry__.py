@@ -351,8 +351,15 @@ def q_quality_buckets(spark, sf_dir):
 
 
 def q_ngram_dedup_verify(spark, sf_dir):
-    """MinHash-LSH candidates verified by exact n-gram Jaccard (rows-only:
-    xxhash64-based LSH isn't reproducible in DuckDB)."""
+    """MinHash-LSH candidates verified by exact n-gram Jaccard —
+    ORACLE-CHECKED as a recall contract: the oracle computes ALL pairs with
+    exact word-3-gram Jaccard >= 0.8 (SQL-expressible; the xxhash64 LSH
+    itself is not DuckDB-reproducible, and doesn't need to be). Because the
+    Spark side post-filters candidates by the same exact Jaccard, its result
+    equals the oracle's IFF banded LSH (16 hashes x 8 bands: miss prob at
+    j=0.8 is (1-0.64)^8 ~ 3e-4 per pair) surfaced every such pair — any
+    missed pair is a hash mismatch, so the driver gate continuously verifies
+    LSH recall at the dedup threshold, not just the verify kernel."""
     from entity_resolver_spark.operators.dedup import (
         minhash_dedup_pairs,
         ngram_jaccard_pairs,
@@ -601,25 +608,122 @@ def q_er_impute(spark, sf_dir):
 
 
 def q_er_clusters(spark, sf_dir):
+    """Full resolution pipeline (block -> train -> score -> cluster),
+    ORACLE-CHECKED against derivable truth: the d{i}/v{i} construction makes
+    the expected clustering exact — every retained primary conversation with
+    doc_id % 3 == 0 and its variant form one 2-cluster, everything else is a
+    singleton. Output unions two invariants into one comparable result:
+
+      ('pair', d{i}, v{i})        — truth pairs the pipeline CO-CLUSTERED
+                                    (oracle emits ALL truth pairs: any split
+                                    entity hash-mismatches)
+      ('size', size, n_clusters)  — the full cluster-size distribution
+                                    (oracle emits {1: n-2k, 2: k}: any FALSE
+                                    merge shifts the distribution and
+                                    hash-mismatches)
+
+    Together these gate recall AND precision of end-to-end resolution, not
+    just row counts — the r3 verdict's last missing oracle. (That oracle
+    immediately earned its keep: the r3 rows-only form reported "2 rows" that
+    were actually sizes {1: 7, 660: 1} — a giant false cluster, invisible to
+    a row count.)
+
+    Two things make the truth derivable AND achievable by content:
+
+    * The documents table contains COINCIDENTAL near-identical pairs (the
+      small-vocabulary generator emits ~25 doc pairs with exact trigram
+      Jaccard >= 0.8 at sf0.01, vs 0.32-0.73 for the planted d/v variants) —
+      no content-based resolver can call those "different entities", so docs
+      with a >= 0.8 partner are EXCLUDED up front, on both sides: Spark uses
+      the production dedup path (MinHash-LSH candidates + exact verify),
+      the oracle the all-pairs exact form — their equality at >= 0.8 is
+      itself gated by ngram_dedup_verify's recall contract. The remaining
+      corpus is cleanly separable: junk pairs <= 0.15 Jaccard, truth >= 0.32.
+    * The model is TRAINED IN-QUERY (M1/M3/M4) on labels derived from the
+      same d/v construction, then scored and clustered — so this one query
+      exercises block -> feature -> train -> threshold-opt -> score ->
+      cluster end to end against ground truth.
+    """
     from entity_resolver_spark.operators.blocking import candidate_pairs
     from entity_resolver_spark.operators.clustering import cluster_records
+    from entity_resolver_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
     from entity_resolver_spark.operators.features import pair_features
-    from entity_resolver_spark.operators.scoring import score_pairs
+    from entity_resolver_spark.operators.scoring import score_pairs, train
     from entity_resolver_spark.operators.transcripts import build_entity_records
 
+    docs = _read(spark, sf_dir, "documents")
+    cand = minhash_dedup_pairs(docs).select("left", "right")
+    nd = ngram_jaccard_pairs(docs, cand).where(F.col("jaccard") >= 0.8)
+    excluded = (
+        nd.select(F.col("left").alias("doc_id"))
+        .unionByName(nd.select(F.col("right").alias("doc_id")))
+        .distinct()
+    )
+    excl_convs = excluded.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("d"), F.col("doc_id").cast("string")),
+                F.concat(F.lit("v"), F.col("doc_id").cast("string")),
+            )
+        ).alias("conv_id")
+    )
+
     t = derive_transcripts(spark, sf_dir)
-    records = build_entity_records(t).persist()
+    records = (
+        build_entity_records(t)
+        .join(excl_convs, "conv_id", "left_anti")
+        .localCheckpoint()
+    )
+    truth = (
+        docs.where(F.pmod("doc_id", F.lit(3)) == 0)
+        .join(excluded, "doc_id", "left_anti")
+        .select(
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("a"),
+            F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias("b"),
+        )
+    )
+
     pairs = candidate_pairs(records)
-    feats = pair_features(pairs, records)
-    scored = score_pairs(feats)
-    clusters = cluster_records(records, scored)
-    return (
+    feats = pair_features(pairs, records).localCheckpoint()
+    labeled = pairs.join(
+        truth.select(
+            F.col("a").alias("left"), F.col("b").alias("right")
+        ).withColumn("match", F.lit(True)),
+        ["left", "right"],
+        "left",
+    ).select("left", "right", F.coalesce("match", F.lit(False)).alias("match"))
+    model = train(feats, labeled)
+    scored = score_pairs(feats, model)
+    # Edge threshold = the model's own F1-optimized decision threshold: the
+    # config floor (0.65) and the +0.1 edge band are calibrated to the
+    # DEFAULT model's probability scale; this in-query model's L2-regularized
+    # scale is compressed (the sweep found a separating threshold at ~0.06),
+    # and the sweep by construction picks a separating point whenever one
+    # exists on the grid.
+    clusters = cluster_records(records, scored, model.threshold).localCheckpoint()
+    cl = clusters.select("conv_id", "cluster_id")
+    co_clustered = (
+        truth.join(cl.withColumnRenamed("conv_id", "a"), "a")
+        .withColumnRenamed("cluster_id", "_ca")
+        .join(cl.withColumnRenamed("conv_id", "b"), "b")
+        .where(F.col("_ca") == F.col("cluster_id"))
+        .select(F.lit("pair").alias("kind"), "a", "b")
+    )
+    dist = (
         clusters.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("size"))
         .groupBy("size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
-        .orderBy("size")
+        .select(
+            F.lit("size").alias("kind"),
+            F.col("size").cast("string").alias("a"),
+            F.col("n_clusters").cast("string").alias("b"),
+        )
     )
+    return co_clustered.unionByName(dist).orderBy("kind", "a", "b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1032,11 +1136,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT size, count(*) AS n_clusters
             FROM sizes GROUP BY size ORDER BY size
         """,
-        # ngram_dedup_verify / er_impute / er_clusters stay rows-only: they
-        # depend on xxhash64-seeded LSH / pandas-UDF scoring / hashed-TF
-        # vectors that DuckDB cannot reproduce bit-for-bit. Their kernels ARE
-        # oracle-checked through the exact-path twins above (jaccard_near_dup
-        # for the Jaccard verify, graph_sessions + cluster_size_dist for CC,
-        # embedding_near_dup for cosine near-dup, er_blocking_recall for the
-        # full blocking battery's recall contract).
+        "ngram_dedup_verify": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(regexp_replace(
+                           regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
+                           '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct([array_to_string(
+                                     list_slice(toks, i, i + 2), ' ')
+                                 for i in range(1, len(toks) - 1)])
+                            ELSE [array_to_string(toks, ' ')] END AS g
+                FROM t
+            ), pairs AS (
+                SELECT a.doc_id AS "left", b.doc_id AS "right",
+                       len(list_intersect(a.g, b.g)) * 1.0
+                         / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+                         AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT * FROM pairs WHERE jaccard >= 0.8 ORDER BY "left", "right"
+        """,
+        "er_clusters": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(regexp_replace(
+                           regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
+                           '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct([array_to_string(
+                                     list_slice(toks, i, i + 2), ' ')
+                                 for i in range(1, len(toks) - 1)])
+                            ELSE [array_to_string(toks, ' ')] END AS g
+                FROM t
+            ), nd AS (
+                -- coincidental near-identical doc pairs (exact trigram
+                -- Jaccard >= 0.8): no content-based resolver can separate
+                -- them, so both query and oracle exclude their docs
+                SELECT a.doc_id AS l, b.doc_id AS r
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.g, b.g)) * 1.0
+                      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+                      >= 0.8
+            ), excl AS (
+                SELECT l AS doc_id FROM nd UNION SELECT r FROM nd
+            ), keep AS (
+                SELECT doc_id FROM documents
+                WHERE doc_id NOT IN (SELECT doc_id FROM excl)
+            ), dups AS (
+                SELECT doc_id FROM keep WHERE doc_id % 3 = 0
+            ), c AS (
+                SELECT (SELECT count(*) FROM keep)
+                         + (SELECT count(*) FROM dups) AS n_convs,
+                       (SELECT count(*) FROM dups) AS n_dups
+            )
+            SELECT * FROM (
+                SELECT 'pair' AS kind,
+                       'd' || CAST(doc_id AS VARCHAR) AS a,
+                       'v' || CAST(doc_id AS VARCHAR) AS b
+                FROM dups
+                UNION ALL
+                SELECT 'size', '1', CAST(n_convs - 2 * n_dups AS VARCHAR)
+                FROM c
+                UNION ALL
+                SELECT 'size', '2', CAST(n_dups AS VARCHAR) FROM c
+            ) ORDER BY kind, a, b
+        """,
+        # er_impute is the one remaining rows-only query: its neighborhood
+        # votes weight by cosines over xxhash64-bucketed hashed-TF vectors,
+        # which DuckDB cannot reproduce bit-for-bit. Its kernels ARE
+        # oracle-checked through exact-path twins (embedding_near_dup /
+        # embedding_label_centroid_sim for sparse cosine,
+        # topk_orders_per_customer for the top-k window) plus a
+        # planted-label recovery pytest (tests/test_imputation.py).
     }

@@ -47,6 +47,41 @@ SHINGLE_K = 3
 # for here: 8 -> 16 (r2) -> 24 (with 4-row->6-row name-LSH bands).
 SNM_WINDOW = 24
 
+# Which blocking passes run (audit-driven defaults — see
+# scripts/blocking_audit.py + scripts/prune_eval.py, recorded in
+# BENCH/BASELINE.md). Every pass stays implemented and tested; the DEFAULT
+# profile keeps only passes whose marginal recall pays for their unique-pair
+# volume, because every junk candidate is Jaro-Winkler + cosine work
+# downstream. Whole-profile eval (r4): at 72k entities / 359,599 true pairs,
+# dropping SNM + name-LSH + soundex anchors cut candidates 29.05M -> 18.64M
+# (-36%) for blocking recall 0.98954 -> 0.98895 (-0.0006); at the 24k gate
+# corpus the same cut is recall-NEUTRAL (0.99903 either way) at -45% volume.
+# Dropping text-MinHash as well lost 7x more recall than it saved volume at
+# both scales, and tightening rare_shingle_max_df 6 -> 4 lost 1.2-2.2pp —
+# both stay on. Flip SNM / name-LSH back on for corpora where names are
+# absent or heavily mangled (they key on name ORDER and name CHARACTER
+# overlap respectively; this corpus's anchors + rare shingles already cover
+# those failure modes).
+SNM_ENABLED = False
+NAME_LSH_ENABLED = False
+MINHASH_TEXT_ENABLED = True
+# Anchor-key families (blocking.py B5): subset of {"identity", "soundex",
+# "anagram"}. The anagram key already catches transposition typos AND is
+# swap-invariant where soundex breaks (see blocking.py B5 notes); soundex's
+# leave-one-out marginal recall at 72k measured 0.00001 for 755k extra pairs.
+ANCHOR_FORMS = ("identity", "anagram")
+
+# Bottom-k (KMV) shingle sketch carried per record into the pair-feature
+# battery: the k smallest xxhash64 values over the record's distinct word
+# 3-gram shingles. The per-pair ``text_jaccard`` feature is the KMV estimate
+# |bottom_k(A ∪ B) ∩ A ∩ B| / |bottom_k(A ∪ B)| — computed MAP-SIDE from two
+# fixed-width arrays (~8·k bytes/side), no extra shuffle, unlike an exact
+# intersection join. Near-duplicate texts are strong same-entity evidence
+# that unigram TF-IDF cosine cannot see when the vocabulary is small (every
+# doc looks topically alike); the sketch separates copy-edits from topical
+# similarity. Estimator std ≈ sqrt(J(1-J)/k) ≈ 0.06 at J=0.5 with k=64.
+SHINGLE_SKETCH_K = 64
+
 # Rare-shingle inverted index (blocking pass B7): any distinct word shingle
 # with document frequency <= this cap is itself a block key. Near-dup texts
 # share rare shingles; the cap bounds junk at C(df, 2) pairs per shingle.
@@ -96,6 +131,16 @@ YEAR_TOLERANCE = 2
 # this is not.
 BROADCAST_MAX_RECORDS = 1_000_000
 
+# Durability: every K large/small-star rounds, connected_components cuts
+# lineage with a RELIABLE checkpoint() (blocks on the checkpoint filesystem,
+# survive executor loss) instead of localCheckpoint() (executor-local blocks
+# — one lost executor mid-loop kills the job). 0 keeps the local-mode fast
+# path; on a real cluster set e.g. 5 and call
+# spark.sparkContext.setCheckpointDir(...) (scripts/submit_job.py
+# --checkpoint-dir does both). The reference's analogue is its pickle
+# checkpoint_manager (src/checkpoint_manager.py:100-158).
+CC_RELIABLE_EVERY = 0
+
 # Training hyper-parameters (reference config.yml:246-253).
 LR_LEARNING_RATE = 0.05
 LR_L2 = 0.01
@@ -115,6 +160,7 @@ FEATURE_COLS = [
     "year_conflict",
     "text_low",
     "taxonomy_dissimilarity",
+    "text_jaccard",
 ]
 
 # Default pre-trained weights: fit by entity_resolver_spark.operators.scoring
@@ -124,16 +170,17 @@ FEATURE_COLS = [
 # model object — these become literals in the scoring expression (the
 # reference's sigma(X.w + b), src/training.py:371-497).
 DEFAULT_WEIGHTS: dict[str, float] = {
-    "name_jw": 0.1611,
-    "name_lev_sim": 0.0565,
-    "text_cosine": 1.8405,
-    "name_text_squared": 1.3511,
-    "year_match": 0.1581,
-    "year_conflict": -0.1148,
-    "text_low": -2.1551,
-    "taxonomy_dissimilarity": -0.3410,
+    "name_jw": 0.1555,
+    "name_lev_sim": 0.0472,
+    "text_cosine": 1.8220,
+    "name_text_squared": 1.3337,
+    "year_match": 0.1721,
+    "year_conflict": -0.1188,
+    "text_low": -2.1298,
+    "taxonomy_dissimilarity": -0.3335,
+    "text_jaccard": 0.3594,
 }
-DEFAULT_BIAS = 0.5244
+DEFAULT_BIAS = 0.5247
 
 
 @dataclass
@@ -145,9 +192,15 @@ class EngineConfig:
     name_lsh_hashes: int = NAME_LSH_HASHES
     name_lsh_bands: int = NAME_LSH_BANDS
     shingle_k: int = SHINGLE_K
+    shingle_sketch_k: int = SHINGLE_SKETCH_K
     snm_window: int = SNM_WINDOW
+    snm_enabled: bool = SNM_ENABLED
+    name_lsh_enabled: bool = NAME_LSH_ENABLED
+    minhash_text_enabled: bool = MINHASH_TEXT_ENABLED
+    anchor_forms: tuple = ANCHOR_FORMS
     rare_shingle_max_df: int = RARE_SHINGLE_MAX_DF
     max_block_size: int = MAX_BLOCK_SIZE
+    cc_reliable_every: int = CC_RELIABLE_EVERY
     broadcast_max_records: int = BROADCAST_MAX_RECORDS
     decision_threshold: float = DECISION_THRESHOLD
     min_edge_confidence: float = MIN_EDGE_CONFIDENCE

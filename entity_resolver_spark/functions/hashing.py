@@ -37,13 +37,16 @@ def bucket_expr(token: Column, dim: int) -> Column:
 
 def hashed_tf_vectors(
     df: DataFrame,
-    id_col: str,
+    id_col: str | list[str],
     tokens_col: str,
     dim: int,
     idf: bool = True,
     max_entries: int = 64,
 ) -> DataFrame:
     """(id, tokens array<string>) -> (id, vector map<int,double>) hashed-TF.
+
+    ``id_col`` may be a composite key (list of columns) — e.g. the context
+    vectors keyed on (text_hash, name_hash), see features._VEC_KEY.
 
     SPARSE representation: hash bucket -> log-scaled TF weight (1 + ln n),
     L2-normalized so downstream cosine is a plain sparse dot product
@@ -54,10 +57,11 @@ def hashed_tf_vectors(
     re-inlined per element by CollapseProject and is not codegen'd — measured
     pathological). One shuffle total.
     """
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     exploded = df.select(
-        F.col(id_col), F.explode(F.col(tokens_col)).alias("_tok")
-    ).select(F.col(id_col), bucket_expr(F.col("_tok"), dim).alias("_b"))
-    tf = exploded.groupBy(id_col, "_b").agg(
+        *ids, F.explode(F.col(tokens_col)).alias("_tok")
+    ).select(*ids, bucket_expr(F.col("_tok"), dim).alias("_b"))
+    tf = exploded.groupBy(*ids, "_b").agg(
         (1.0 + F.log(F.count(F.lit(1)))).alias("_w")
     )
     if idf:
@@ -66,7 +70,11 @@ def hashed_tf_vectors(
         # topical signal (this replaces what a trained embedding model gives
         # the reference for free). Two cheap aggregates; the df table is tiny
         # (<= dim rows) and broadcast-joined.
-        n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+        # countDistinct over bare columns SKIPS rows where any column is
+        # NULL — with (text_hash, name_hash) keys and a nameless corpus that
+        # made n_docs 0 and inverted every IDF weight. The struct form counts
+        # NULL fields as values.
+        n_docs = df.select(F.countDistinct(F.struct(*ids)).alias("_n"))
         dfreq = (
             tf.groupBy("_b")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -77,7 +85,7 @@ def hashed_tf_vectors(
             )
         )
         tf = tf.join(F.broadcast(dfreq), "_b").select(
-            id_col, "_b", (F.col("_w") * F.col("_idf")).alias("_w")
+            *ids, "_b", (F.col("_w") * F.col("_idf")).alias("_w")
         )
     # Truncate to the max_entries highest-weight buckets BEFORE normalizing:
     # with IDF weighting the tail carries little cosine mass, and per-pair
@@ -88,7 +96,7 @@ def hashed_tf_vectors(
         1,
         max_entries,
     )
-    vec = tf.groupBy(id_col).agg(
+    vec = tf.groupBy(*ids).agg(
         F.map_from_entries(
             F.transform(entries, lambda e: F.struct(e["_b"], e["_w"]))
         ).alias("_m")
@@ -100,7 +108,7 @@ def hashed_tf_vectors(
         F.map_keys("_m"),
         F.transform(F.map_values("_m"), lambda v: v / norm),
     )
-    return vec.select(F.col(id_col), unit.alias("vector"))
+    return vec.select(*ids, unit.alias("vector"))
 
 
 def sparse_cosine_expr(a: Column, b: Column) -> Column:
@@ -243,3 +251,31 @@ def simhash_expr(tokens: Column, bits: int = 64) -> Column:
 def hamming64_expr(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit SimHash values (native bit_count)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def kmv_sketch_expr(tokens: Column, shingle_k: int, sketch_k: int) -> Column:
+    """Bottom-k (KMV) sketch of a token array's distinct word k-shingles:
+    the ``sketch_k`` smallest xxhash64 values, ascending. Fixed-width
+    (<= 8 * sketch_k bytes), order-canonical, computable in one projection —
+    the per-record carrier for map-side set-similarity estimation (the
+    classic KMV/bottom-k construction; same family as the MinHash signatures
+    the blocking passes use, but composable into a UNION sketch, which the
+    one-permutation-per-slot signature is not)."""
+    sh = F.array_distinct(shingles_expr(tokens, shingle_k))
+    hashes = F.array_sort(F.transform(sh, lambda s: F.xxhash64(s)))
+    return F.slice(hashes, 1, sketch_k)
+
+
+def kmv_jaccard_expr(a: Column, b: Column, sketch_k: int) -> Column:
+    """KMV Jaccard estimate from two bottom-k sketches: restrict to the
+    bottom-k of the UNION (a uniform sample of A ∪ B under the shared hash
+    order) and count how many of those sampled elements lie in both sets.
+    Exact when |A ∪ B| <= k; std ≈ sqrt(J(1-J)/k) beyond. NULL if either
+    sketch is NULL (callers coalesce to their missing-value policy)."""
+    u = F.slice(F.array_sort(F.array_union(a, b)), 1, sketch_k)
+    inter = F.array_intersect(u, F.array_intersect(a, b))
+    return F.when(
+        a.isNull() | b.isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.when(F.size(u) > 0, F.size(inter) / F.size(u)).otherwise(F.lit(0.0))
+    )

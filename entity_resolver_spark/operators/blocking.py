@@ -104,14 +104,17 @@ def _sorted_chars(t: F.Column) -> F.Column:
     return F.concat_ws("", F.array_sort(F.filter(F.split(t, ""), lambda c: c != "")))
 
 
-def _anchor_key_arrays() -> list[F.Column]:
+def _anchor_key_arrays(
+    forms: tuple = ("identity", "soundex", "anagram"),
+) -> list[F.Column]:
     """B5: per-token anchor keys. For each name token t (len >= 3), pair an
     anchor form of t with the sorted first letters of the OTHER tokens.
     Symmetric in which token is the surname — 'rosalind turing' emits both
     (rosalind|t) and (turing|r), so 'turing r' meets it at turing|r no matter
     which token is longer (the old longest-token-as-surname heuristic broke
     exactly there). Three anchor forms per token: identity (initialisms),
-    soundex (phonetic typos), sorted chars (transposition typos)."""
+    soundex (phonetic typos), sorted chars (transposition typos).
+    ``forms`` selects the enabled families (EngineConfig.anchor_forms)."""
     toks = _name_tokens()
     idx = F.sequence(F.lit(1), F.size(toks))
 
@@ -136,26 +139,30 @@ def _anchor_key_arrays() -> list[F.Column]:
 
         return F.when(F.size(toks) > 0, F.transform(idx, one))
 
-    return [
-        fam("i:", lambda t: t),
-        fam("p:", F.soundex),
-        fam("a:", _sorted_chars),
-    ]
+    builders = {
+        "identity": lambda: fam("i:", lambda t: t),
+        "soundex": lambda: fam("p:", F.soundex),
+        "anagram": lambda: fam("a:", _sorted_chars),
+    }
+    unknown = set(forms) - set(builders)
+    if unknown:
+        raise ValueError(f"unknown anchor forms: {sorted(unknown)}")
+    return [builders[f]() for f in forms]
 
 
 def initials_blocks(records: DataFrame) -> DataFrame:
     """B5 identity anchors as standalone rows — audit/compat surface."""
-    return _explode_keys(records, [_anchor_key_arrays()[0]])
+    return _explode_keys(records, _anchor_key_arrays(("identity",)))
 
 
 def soundex_blocks(records: DataFrame) -> DataFrame:
     """B5 soundex anchors as standalone rows — audit/compat surface."""
-    return _explode_keys(records, [_anchor_key_arrays()[1]])
+    return _explode_keys(records, _anchor_key_arrays(("soundex",)))
 
 
 def anagram_blocks(records: DataFrame) -> DataFrame:
     """B5 sorted-chars anchors as standalone rows — audit/compat surface."""
-    return _explode_keys(records, [_anchor_key_arrays()[2]])
+    return _explode_keys(records, _anchor_key_arrays(("anagram",)))
 
 
 def _global_rank(df: DataFrame, sort_cols: list[str]) -> DataFrame:
@@ -316,18 +323,27 @@ def all_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
     pairs, not arbitrary ones.
 
     The cheap per-record passes (exact, anchor battery) fuse into ONE scan of
-    records (one select, one explode). The two MinHash-LSH passes go through
+    records (one select, one explode). The MinHash-LSH passes go through
     explode+groupBy signatures (codegen'd; partial aggregation keeps their
     shuffles to one reduced row per mapper x record — the corpus text never
-    shuffles), and SNM uses range-partitioned global ranks. Four branches.
+    shuffles), and SNM uses range-partitioned global ranks.
+
+    Which passes run is config (EngineConfig.snm_enabled / name_lsh_enabled /
+    minhash_text_enabled / anchor_forms) — defaults follow the 72k-entity
+    leave-one-out audit (scripts/blocking_audit.py, BENCH/BASELINE.md): a
+    pass must buy marginal recall proportionate to its unique-pair volume,
+    because every junk candidate is Jaro-Winkler + cosine work downstream.
     """
-    fused = _explode_keys(records, [*_exact_key_exprs(), *_anchor_key_arrays()])
-    return (
-        fused.unionByName(sorted_neighborhood_blocks(records, cfg))
-        .unionByName(minhash_lsh_blocks(records, cfg))
-        .unionByName(name_lsh_blocks(records, cfg))
-        .unionByName(rare_shingle_blocks(records, cfg))
+    out = _explode_keys(
+        records, [*_exact_key_exprs(), *_anchor_key_arrays(cfg.anchor_forms)]
     )
+    if cfg.snm_enabled:
+        out = out.unionByName(sorted_neighborhood_blocks(records, cfg))
+    if cfg.minhash_text_enabled:
+        out = out.unionByName(minhash_lsh_blocks(records, cfg))
+    if cfg.name_lsh_enabled:
+        out = out.unionByName(name_lsh_blocks(records, cfg))
+    return out.unionByName(rare_shingle_blocks(records, cfg))
 
 
 # Blocks larger than max_block_size * this multiplier skip the rank-ordered
@@ -422,6 +438,25 @@ def _sum_pairs_interval(n: F.Column, width: int, off: int) -> F.Column:
     return c2(first) + full * c2(F.lit(width)) + c2(tail)
 
 
+def _sum_pairs_refinement(n: F.Column, cap: int, h: int) -> F.Column:
+    """Sum of C(size, 2) over the COMMON REFINEMENT of the two offset
+    bucketings (grid `cap` offset 0, grid `cap` offset `h`): boundaries at
+    every multiple of cap AND every multiple-of-cap-minus-h, i.e. segments of
+    alternating widths (cap-h), h, (cap-h), h, ... Pairs sharing a bucket in
+    BOTH bucketings are exactly the pairs sharing a refinement segment. When
+    cap == 2h this is the uniform h-grid; for odd caps the widths differ and
+    assuming the h-grid undercounts forgone pairs (cap=5, n=17: true retained
+    47, h-grid formula said 52)."""
+    c2 = lambda x: (x * (x - 1)) / 2  # noqa: E731
+    w1 = cap - h  # first segment width of each cap-period
+    full = F.floor(n / cap)
+    t = n - full * cap  # remainder: one partial period, widths w1 then h
+    per_period = c2(F.lit(w1)) + c2(F.lit(h))
+    seg1 = F.least(t, F.lit(w1))
+    seg2 = F.greatest(t - w1, F.lit(0).cast("double"))
+    return full * per_period + c2(seg1) + c2(seg2)
+
+
 def hot_block_metrics(blocks: DataFrame, cfg: EngineConfig) -> DataFrame:
     """One row of observability for the skew guard: how many blocks exceeded
     the cap, how many member rows they held, and EXACTLY how many candidate
@@ -432,8 +467,9 @@ def hot_block_metrics(blocks: DataFrame, cfg: EngineConfig) -> DataFrame:
     pairs sharing a bucket in either of the two offset bucketings. By
     inclusion-exclusion: S(n, cap, 0) + S(n, cap, h) - (pairs sharing a
     bucket in BOTH) — and since both bucketings are interval partitions of
-    the rank line, sharing both is exactly sharing a segment of the common
-    refinement (with cap = 2h, the h-grid). Closed form from n alone.
+    the rank line, sharing both is exactly sharing a segment of their common
+    refinement, whose segments alternate widths (cap-h) and h (the uniform
+    h-grid when cap is even). Closed form from n alone, exact for ANY cap.
 
     Hash-salted mega blocks (n > cap*ORDERED_SPLIT_MULT): retained depends
     on the realized hash bucket sizes, so it is computed from the data —
@@ -453,7 +489,7 @@ def hot_block_metrics(blocks: DataFrame, cfg: EngineConfig) -> DataFrame:
     retained_ranked = (
         _sum_pairs_interval(n, cap, 0)
         + _sum_pairs_interval(n, cap, h)
-        - _sum_pairs_interval(n, h, 0)
+        - _sum_pairs_refinement(n, cap, h)
     )
     ordered = sizes.where(F.col("n") <= mega).select(
         "block_key", "n", (total - retained_ranked).alias("_forgone")

@@ -17,26 +17,41 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from entity_resolver_spark.config import MIN_EDGE_CONFIDENCE
 
 
+def _with_nbr_min(nbrs: DataFrame) -> DataFrame:
+    """Attach m = min(v) over u's neighborhood (clamped by u itself) to every
+    (u, v) row — the kernel both stars share.
+
+    Two-level min, celebrity-safe: the per-u minimum comes from a
+    ``groupBy(u).agg(min(v))`` whose map-side partial aggregation reduces the
+    shuffle to ONE row per (mapper, u) — a node of any degree never funnels
+    its neighborhood through one reduce task to compute the min. The tiny min
+    table then joins back onto the neighbor rows. A ``Window.partitionBy(u)``
+    (the previous form) instead BUFFERS the entire hottest neighborhood in a
+    single task's WindowExec — star graphs start exactly that way (a
+    celebrity node holds its whole component as direct neighbors), so the
+    buffered form is the non-scalable shape even though degrees shrink as
+    rounds progress. The join still places all of u's rows in one partition,
+    but it streams them (sort-merge over a 1-row-per-key build side) rather
+    than materializing them.
+    """
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("_mn"))
+    return nbrs.join(mins, "u").select(
+        "u", "v", F.least(F.col("_mn"), F.col("u")).alias("m")
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to u's min neighborhood
-    label (including u itself).
-
-    The neighborhood minimum is attached with ONE min-Window over u instead
-    of groupBy + join-back: the join form shuffles the neighbor list twice
-    per round (once into the groupBy, once into the join), the Window once.
-    In an O(log n)-round loop the saved shuffle is paid every round.
-    """
+    label (including u itself)."""
     nbrs = edges.select("u", "v").union(edges.select(F.col("v"), F.col("u")))
-    w = Window.partitionBy("u")
-    m = F.least(F.min("v").over(w), F.col("u"))
     return (
-        nbrs.select("u", "v", m.alias("m"))
+        _with_nbr_min(nbrs)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -50,10 +65,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
-    w = Window.partitionBy("u")
-    withm = oriented.select(
-        "u", "v", F.least(F.min("v").over(w), F.col("u")).alias("m")
-    )
+    withm = _with_nbr_min(oriented)
     out = withm.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
         withm.select(F.col("u"), F.col("m").alias("v"))
     )
@@ -129,43 +141,53 @@ def connected_components(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     if loop_parts < default_parts:
         e = e.coalesce(loop_parts).localCheckpoint()
-    prev_sig = None
-    for rnd in range(max_iter):
-        # one lineage cut per round: large-star feeds small-star
-        # unmaterialized; reliable checkpoint every K rounds if configured
-        e = _small_star(_large_star(e))
-        if reliable_every and (rnd + 1) % reliable_every == 0:
-            e = e.checkpoint()
-        else:
-            e = e.localCheckpoint()
-        sig = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal sum: ANSI-safe (long sum of 64-bit hashes overflows)
-            F.coalesce(
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
-            ).alias("h"),
-        ).collect()[0]
-        cur_sig = (sig["n"], str(sig["h"]))
-        if cur_sig == prev_sig:
-            break
-        prev_sig = cur_sig
-    # hand the converged star forest back to the caller's session the same
-    # way (the final loop round left it checkpointed)
     out_view = f"er_cc_out_{uuid.uuid4().hex}"
-    e.createOrReplaceGlobalTempView(out_view)
-    e = sess.table(f"global_temp.{out_view}")
-    sess.catalog.dropGlobalTempView(view)
-    # After convergence, small-star output is a star forest: u -> root. The
-    # root is the hash-order minimum; relabel with the lexicographically
-    # minimal member id so cluster labels are deterministic AND meaningful
-    # in id space (one extra groupBy on component-count rows).
-    roots = e.select(F.col("u").alias("nid"), F.col("v").alias("root_nid"))
-    labeled = node_map.join(roots, "nid", "left").select(
-        "id", F.coalesce("root_nid", "nid").alias("root_nid")
-    )
-    names = labeled.groupBy("root_nid").agg(F.min("id").alias("component"))
-    out = labeled.join(names, "root_nid").select("id", "component")
-    node_map.unpersist()
+    try:
+        prev_sig = None
+        for rnd in range(max_iter):
+            # one lineage cut per round: large-star feeds small-star
+            # unmaterialized; reliable checkpoint every K rounds if configured
+            e = _small_star(_large_star(e))
+            if reliable_every and (rnd + 1) % reliable_every == 0:
+                e = e.checkpoint()
+            else:
+                e = e.localCheckpoint()
+            sig = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal sum: ANSI-safe (long sum of 64-bit hashes overflows)
+                F.coalesce(
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+                ).alias("h"),
+            ).collect()[0]
+            cur_sig = (sig["n"], str(sig["h"]))
+            if cur_sig == prev_sig:
+                break
+            prev_sig = cur_sig
+        # hand the converged star forest back to the caller's session the same
+        # way (the final loop round left it checkpointed)
+        e.createOrReplaceGlobalTempView(out_view)
+        e = sess.table(f"global_temp.{out_view}")
+        # After convergence, small-star output is a star forest: u -> root.
+        # The root is the hash-order minimum; relabel with the
+        # lexicographically minimal member id so cluster labels are
+        # deterministic AND meaningful in id space (one extra groupBy on
+        # component-count rows). The result is eagerly materialized
+        # (localCheckpoint) BEFORE the finally block drops the temp views —
+        # the returned plan must not reference a dropped view, and dropping
+        # them unpins the loop's converged edge blocks from executor storage
+        # (long-lived sessions running repeated incremental closures would
+        # otherwise accumulate one pinned edge set + view per call).
+        roots = e.select(F.col("u").alias("nid"), F.col("v").alias("root_nid"))
+        labeled = node_map.join(roots, "nid", "left").select(
+            "id", F.coalesce("root_nid", "nid").alias("root_nid")
+        )
+        names = labeled.groupBy("root_nid").agg(F.min("id").alias("component"))
+        out = labeled.join(names, "root_nid").select("id", "component")
+        out = out.localCheckpoint()
+    finally:
+        sess.catalog.dropGlobalTempView(view)
+        sess.catalog.dropGlobalTempView(out_view)
+        node_map.unpersist()
     return out
 
 
@@ -173,14 +195,20 @@ def cluster_records(
     records: DataFrame,
     scored: DataFrame,
     min_edge_confidence: float = MIN_EDGE_CONFIDENCE,
+    reliable_every: int = 0,
 ) -> DataFrame:
     """Strict clustering (reference _generate_clusters_strict,
     src/classifying.py:2184-2284): filter edges by confidence, run CC, append
-    singletons (records with no surviving edge form their own cluster)."""
+    singletons (records with no surviving edge form their own cluster).
+
+    ``reliable_every`` is forwarded to ``connected_components`` — the
+    pipeline threads ``EngineConfig.cc_reliable_every`` through here so
+    cluster deployments get fault-tolerant lineage cuts (see that config
+    knob and scripts/submit_job.py --checkpoint-dir)."""
     edges = scored.where(
         F.col("is_match") & (F.col("proba") >= F.lit(min_edge_confidence))
     ).select(F.col("left").alias("src"), F.col("right").alias("dst"))
-    comp = connected_components(edges)
+    comp = connected_components(edges, reliable_every=reliable_every)
     all_ids = records.select(F.col("conv_id").alias("id"))
     return all_ids.join(comp, "id", "left").select(
         F.col("id").alias("conv_id"),

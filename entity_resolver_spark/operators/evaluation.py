@@ -66,11 +66,12 @@ def threshold_curve(
         F.sum((F.col("label") & (F.col("proba") >= F.col("threshold"))).cast("long")).alias("tp"),
         F.sum((~F.col("label") & (F.col("proba") >= F.col("threshold"))).cast("long")).alias("fp"),
         F.sum((F.col("label") & (F.col("proba") < F.col("threshold"))).cast("long")).alias("fn"),
+        F.sum((~F.col("label") & (F.col("proba") < F.col("threshold"))).cast("long")).alias("tn"),
     )
     prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
     rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
     return agg.select(
-        "threshold", "tp", "fp", "fn",
+        "threshold", "tp", "fp", "fn", "tn",
         prec.alias("precision"),
         rec.alias("recall"),
         (2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12))).alias("f1"),
@@ -117,3 +118,78 @@ def cluster_report(clusters: DataFrame, expected: DataFrame | None = None) -> Da
             "pair_f1": F.lit(f1),
         }
     )
+
+
+def render_curve_plots(curve_rows: list, out_dir: str) -> list[str]:
+    """Render the reference's PR / ROC / F1-vs-threshold plots
+    (/root/reference/src/training.py:926-1100 renders them with matplotlib)
+    from an already-collected threshold_curve table (<= 1/step rows — driver
+    side by construction, no Spark work here).
+
+    matplotlib is an OPTIONAL dependency: absent (as in this container), the
+    function returns [] and writes nothing — the curve TABLES persisted by
+    write_report carry the same information. Returns the written paths.
+    """
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return []
+
+    import os
+
+    rows = sorted(
+        (r.asDict() if hasattr(r, "asDict") else dict(r) for r in curve_rows),
+        key=lambda r: r["threshold"],
+    )
+    if not rows:
+        return []
+    os.makedirs(out_dir, exist_ok=True)
+    prec = [r["precision"] for r in rows]
+    rec = [r["recall"] for r in rows]
+    thr = [r["threshold"] for r in rows]
+    f1 = [r["f1"] for r in rows]
+    written = []
+
+    fig, ax = plt.subplots(figsize=(6, 5))
+    ax.plot(rec, prec, marker="o")
+    ax.set_xlabel("recall")
+    ax.set_ylabel("precision")
+    ax.set_title("precision-recall curve")
+    ax.set_xlim(0, 1.02)
+    ax.set_ylim(0, 1.02)
+    path = os.path.join(out_dir, "pr_curve.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    written.append(path)
+
+    # ROC needs tn (curve tables written before r4 lack it — skip then)
+    if all("tn" in r and r["tn"] is not None for r in rows):
+        tpr = [r["tp"] / max(r["tp"] + r["fn"], 1) for r in rows]
+        fpr = [r["fp"] / max(r["fp"] + r["tn"], 1) for r in rows]
+        fig, ax = plt.subplots(figsize=(6, 5))
+        ax.plot(fpr, tpr, marker="o")
+        ax.plot([0, 1], [0, 1], linestyle="--", linewidth=0.8)
+        ax.set_xlabel("false positive rate")
+        ax.set_ylabel("true positive rate")
+        ax.set_title("ROC curve")
+        path = os.path.join(out_dir, "roc_curve.png")
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        written.append(path)
+
+    fig, ax = plt.subplots(figsize=(6, 5))
+    ax.plot(thr, prec, label="precision")
+    ax.plot(thr, rec, label="recall")
+    ax.plot(thr, f1, label="f1")
+    ax.set_xlabel("decision threshold")
+    ax.set_ylabel("metric")
+    ax.set_title("metrics vs threshold")
+    ax.legend()
+    path = os.path.join(out_dir, "threshold_metrics.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    written.append(path)
+    return written

@@ -18,6 +18,10 @@ Feature set (analogue of the reference's enabled set, config.yml:276-290):
                        X3's shape: average-then-square)
   year_match         — birth/death-year agreement (X4/F6)
   taxonomy_dissimilarity — min category-pair dissimilarity over tools (X5/J9)
+  text_jaccard       — KMV bottom-k estimate of word-3-gram Jaccard from two
+                       per-record sketches (map-side; separates copy-edited
+                       near-dup text from topical similarity, which unigram
+                       cosine cannot on small-vocabulary corpora)
 
 The compute-once-per-distinct discipline the reference encodes (embed each
 unique string once — src/embedding_and_indexing.py:835-912) is preserved:
@@ -30,7 +34,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from entity_resolver_spark.config import EngineConfig
-from entity_resolver_spark.functions.hashing import hashed_tf_vectors
+from entity_resolver_spark.functions.hashing import (
+    hashed_tf_vectors,
+    kmv_jaccard_expr,
+    kmv_sketch_expr,
+)
 from entity_resolver_spark.functions.similarity import (
     jaro_winkler_pudf,
     levenshtein_sim_expr,
@@ -45,22 +53,37 @@ from entity_resolver_spark.operators.taxonomy import taxonomy_dissimilarity_expr
 # Attributes each pair side needs. Keeping this projection narrow matters:
 # the join fan-out is 2x pairs, so every extra column is paid twice.
 _SIDE_COLS = [
-    "conv_id", "name_key", "birth_year", "death_year", "text_hash", "categories",
+    "conv_id", "name_key", "name_hash", "birth_year", "death_year",
+    "text_hash", "categories",
 ]
+
+# Vector table key. Context tokens are text MINUS the extracted name tokens,
+# and name extraction runs on the RAW (case-preserving) first turn while
+# text_hash hashes the case-folded norm_text — so identical text_hash does
+# NOT imply identical context_tokens ('JOHN SMITH ...' vs 'John Smith ...'
+# share text_hash but extract different names). Deduping on text_hash alone
+# picked an arbitrary row's context vector for both. (text_hash, name_hash)
+# does imply identical context_tokens: same norm_text + same name_key =>
+# same token filter.
+_VEC_KEY = ["text_hash", "name_hash"]
 
 
 def text_vectors(records: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """(text_hash, vector) — hashed-TF per distinct normalized text.
+    """(text_hash, name_hash, vector) — hashed-TF per distinct
+    (normalized text, extracted name) combination.
 
     Uses ``context_tokens`` (text minus name-key tokens) when the records
-    carry them: identical text_hash implies identical name span, so the key
-    stays valid, and the vector measures CONTEXT — same-name confounders no
+    carry them, so the vector measures CONTEXT — same-name confounders no
     longer share the high-IDF name mass (see transcripts.build_entity_records).
+    Keyed on (text_hash, name_hash) because context_tokens depend on BOTH
+    (see _VEC_KEY); the distinct count is ~the distinct-text count, so the
+    reference's embed-each-unique-string-once economics are preserved
+    (src/embedding_and_indexing.py:835-912).
     """
     col = "context_tokens" if "context_tokens" in records.columns else "tokens"
-    distinct = records.select("text_hash", col).dropDuplicates(["text_hash"])
-    return hashed_tf_vectors(distinct, "text_hash", col, cfg.tf_dim).select(
-        F.col("text_hash"), F.col("vector")
+    distinct = records.select(*_VEC_KEY, col).dropDuplicates(_VEC_KEY)
+    return hashed_tf_vectors(distinct, _VEC_KEY, col, cfg.tf_dim).select(
+        *_VEC_KEY, "vector"
     )
 
 
@@ -116,7 +139,18 @@ def pair_inputs(
       metadata scan, amortized by the join it sizes.
     """
     cfg = cfg or EngineConfig()
-    attrs = records.select(*_SIDE_COLS)
+    # The KMV shingle sketch rides in the side projection (fixed width,
+    # <= 8 * sketch_k bytes) so ``text_jaccard`` is a MAP-SIDE expression over
+    # the joined pair row — near-dup evidence without the exact-intersection
+    # join (dedup.ngram_jaccard_pairs) that would add a shuffle per pair.
+    attrs = records.select(
+        *_SIDE_COLS,
+        kmv_sketch_expr(
+            F.col("tokens"), cfg.shingle_k, cfg.shingle_sketch_k
+        ).alias("_sketch")
+        if "tokens" in records.columns
+        else F.lit(None).cast("array<long>").alias("_sketch"),
+    )
     if vectors is None:
         vectors = text_vectors(records, cfg)
     if broadcast_dims is None:
@@ -126,7 +160,24 @@ def pair_inputs(
     # child plan, so Spark's exchange reuse builds the broadcast hash table
     # once per query instead of four times (attrs x2 + vectors x2 was the
     # measured fixed cost of every scoring pass).
-    side = attrs.join(vectors, "text_hash", "left")
+    # name_hash is NULL for nameless records (and the vector rows mirror
+    # that), so the name_hash leg must be NULL-SAFE — plain equi-join
+    # semantics would strip every nameless record's vector. text_hash stays
+    # a plain equality (a NULL text_hash means no tokens, hence no vector).
+    if "name_hash" in vectors.columns:
+        vec = vectors.select(
+            F.col("text_hash").alias("_vt"),
+            F.col("name_hash").alias("_vn"),
+            "vector",
+        )
+        side = attrs.join(
+            vec,
+            (F.col("text_hash") == F.col("_vt"))
+            & F.col("name_hash").eqNullSafe(F.col("_vn")),
+            "left",
+        ).drop("_vt", "_vn")
+    else:  # pre-r4 vector tables (text_hash-keyed), e.g. resumed warehouses
+        side = attrs.join(vectors, "text_hash", "left")
     if broadcast_dims:
         side = F.broadcast(side)
     df = (
@@ -165,6 +216,22 @@ def pair_inputs(
         R("birth_year").alias("r_birth_year"),
         R("death_year").alias("r_death_year"),
         text_cos.alias("text_cosine"),
+        # KMV Jaccard estimate over word-3-gram shingles: separates
+        # copy-edited near-duplicate text (high shingle overlap) from merely
+        # topical similarity (high cosine, low shingle overlap) — unigram
+        # TF-IDF cosine saturates on small-vocabulary corpora where every
+        # record looks topically alike. Identical-hash short-circuit as for
+        # cosine; missing side -> 0.0 (no overlap evidence).
+        F.when(L("text_hash") == R("text_hash"), F.lit(1.0))
+        .otherwise(
+            F.coalesce(
+                kmv_jaccard_expr(
+                    L("_sketch"), R("_sketch"), cfg.shingle_sketch_k
+                ),
+                F.lit(0.0),
+            )
+        )
+        .alias("text_jaccard"),
         # X5: min dissimilarity over the tool-category cross product — the
         # reference's enabled feature set includes it (config.yml:276-290,
         # scored at src/taxonomy_feature.py:204-313). Native expression over

@@ -21,6 +21,25 @@ from entity_resolver_spark.config import EngineConfig
 from entity_resolver_spark.functions.hashing import sparse_cosine_expr
 
 
+def _one_vector_per_text(vectors: DataFrame) -> DataFrame:
+    """Collapse features.text_vectors' (text_hash, name_hash) key to one
+    vector per text_hash: imputation votes join on text_hash alone, and a
+    text with several extracted-name variants (casing differences in the raw
+    first turn) must not FAN OUT the candidate join and double-count votes.
+    Deterministic pick (min name_hash); the variants differ only in which
+    name tokens were subtracted — negligible for neighborhood voting."""
+    if "name_hash" not in vectors.columns:
+        return vectors
+    w = F.row_number().over(
+        Window.partitionBy("text_hash").orderBy(F.asc_nulls_last("name_hash"))
+    )
+    return (
+        vectors.withColumn("_rk", w)
+        .where(F.col("_rk") == 1)
+        .select("text_hash", "vector")
+    )
+
+
 def impute_attribute(
     records: DataFrame,
     vectors: DataFrame,
@@ -42,6 +61,7 @@ def impute_attribute(
     that lacks one, score = sum of neighbor cosines (weighted vote,
     reference's np.average(vectors, weights=similarities)).
     """
+    vectors = _one_vector_per_text(vectors)
     have = attr_table.where(F.col(attr_col).isNotNull())
     missing = records.join(have.select("conv_id"), "conv_id", "left_anti").select(
         "conv_id", "text_hash"
@@ -113,6 +133,7 @@ def audit_attribute(
     Output: (conv_id, current, suggested, suggested_score, current_score,
     n_donors) — flagged rows only.
     """
+    vectors = _one_vector_per_text(vectors)
     have = attr_table.where(F.col(attr_col).isNotNull()).select(
         F.col("conv_id"), F.col(attr_col).alias("current")
     )

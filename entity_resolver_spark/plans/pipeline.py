@@ -96,7 +96,19 @@ class ResolutionPipeline:
             from entity_resolver_spark.operators.blocking import hot_block_metrics
 
             # materialize the key battery once: the skew-guard metric and the
-            # split both consume it
+            # split both consume it.
+            #
+            # Durability note (cluster scale): this localCheckpoint — and the
+            # ones inside the blocking passes (_global_rank's rank stamp,
+            # rare_shingle's doc-shingle table, split_hot_blocks' input) —
+            # store blocks on executors only; an executor loss mid-stage
+            # fails the stage. That is acceptable HERE because the whole
+            # "pairs" stage is wrapped by _run_stage, whose Warehouse
+            # two-rename commit is itself the durable checkpoint: a retry
+            # re-runs this one stage from the committed `records` table, not
+            # the whole pipeline. The CC loop is the exception (unbounded
+            # rounds inside one stage) — that's what cc_reliable_every is
+            # for.
             blocks = all_blocks(records, cfg).localCheckpoint()
             hb = hot_block_metrics(blocks, cfg).collect()[0]
             row = {
@@ -130,7 +142,9 @@ class ResolutionPipeline:
         edge_t = max(cfg.min_edge_confidence, self.model.edge_threshold)
         clusters = self._run_stage(
             "clusters",
-            lambda: cluster_records(records, scored, edge_t),
+            lambda: cluster_records(
+                records, scored, edge_t, reliable_every=cfg.cc_reliable_every
+            ),
             resume,
         )
         return PipelineResult(clusters=clusters, metrics=self.metrics)
@@ -233,7 +247,9 @@ class ResolutionPipeline:
         )
 
         edge_t = max(cfg.min_edge_confidence, self.model.edge_threshold)
-        clusters = cluster_records(records, scored, edge_t)
+        clusters = cluster_records(
+            records, scored, edge_t, reliable_every=cfg.cc_reliable_every
+        )
         stats = self.wh.write("clusters", clusters)
         self.metrics.append({"stage": "clusters_incr", **stats})
         row = {"stage": "run_incremental", "rows": stats["rows"],
@@ -256,6 +272,7 @@ class ResolutionPipeline:
         from entity_resolver_spark.operators.evaluation import (
             cluster_report,
             confusion_matrix,
+            render_curve_plots,
             threshold_curve,
         )
 
@@ -286,6 +303,14 @@ class ResolutionPipeline:
             },
         }
         if not self.wh.use_iceberg:
+            # reference also renders the curves as PNGs
+            # (src/training.py:926-1100); matplotlib is optional here —
+            # render_curve_plots returns [] when it's absent and the
+            # persisted curve table carries the same information.
+            summary["plots"] = render_curve_plots(
+                self.wh.read("_report_threshold_curve").collect(),
+                os.path.join(self.wh.root, "plots"),
+            )
             path = os.path.join(self.wh.root, "training_report.json")
             with open(path + ".tmp", "w") as f:
                 _json.dump(summary, f, indent=2)

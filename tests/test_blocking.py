@@ -86,6 +86,24 @@ def test_hot_block_split_keeps_rank_neighbors_and_counts_forgone(spark):
     assert m["forgone_pairs"] == n * (n - 1) // 2 - retained
 
 
+def test_forgone_pairs_exact_for_odd_caps(spark):
+    """The rank-split retained-pair closed form must be exact for ODD caps
+    too (ADVICE r3: the two offset bucketings' common refinement is the
+    uniform h-grid only when cap == 2h; odd caps have alternating segment
+    widths cap-h and h — the old formula undercounted forgone pairs, e.g.
+    cap=5, n=17 retained 47 but the formula said 52)."""
+    from entity_resolver_spark.operators.blocking import hot_block_metrics
+
+    for cap, n in [(5, 17), (5, 23), (7, 30), (9, 100), (10, 47), (11, 11 * 32)]:
+        cfg = EngineConfig(max_block_size=cap)
+        blocks = spark.createDataFrame(
+            [(f"id{i:04d}", "hot") for i in range(n)], ["conv_id", "block_key"]
+        )
+        retained = pairs_from_blocks(split_hot_blocks(blocks, cfg)).count()
+        m = hot_block_metrics(blocks, cfg).collect()[0]
+        assert m["forgone_pairs"] == n * (n - 1) // 2 - retained, (cap, n)
+
+
 def test_pairs_from_blocks_within_block_only(spark):
     blocks = spark.createDataFrame(
         [("a", "k1"), ("b", "k1"), ("c", "k2"), ("d", "k2"), ("e", "k3")],

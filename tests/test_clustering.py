@@ -100,3 +100,20 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         labels = {got[n] for n in comp}
         assert len(labels) == 1
         assert min(comp) in labels
+
+
+def test_connected_components_celebrity_star(spark):
+    """A celebrity node holding its whole component as direct neighbors is
+    the star algorithms' worst case: the per-u neighborhood minimum must be
+    computed via the two-level (map-side partial agg -> tiny join-back) form,
+    never by buffering the full neighborhood in one WindowExec task. This
+    exercises a 20k-degree hub — small enough for CI, shaped exactly like the
+    hazard — plus a second component to catch label bleed."""
+    n = 20_000
+    edges = [("hub", f"leaf{i:05d}") for i in range(n)] + [("x", "y")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert len(got) == n + 3
+    star_labels = {got["hub"]} | {got[f"leaf{i:05d}"] for i in range(0, n, 997)}
+    assert star_labels == {"hub"}
+    assert got["x"] == got["y"] == "x"

@@ -84,3 +84,107 @@ def test_year_match_semantics(spark):
     ).collect()
     for r in rows:
         assert r["got"] == pytest.approx(r["exp"])
+
+
+def test_text_vectors_keyed_per_name_variant(spark):
+    """Same case-folded text, different EXTRACTED names (all-caps keeps the
+    name regex matching through the whole turn) must get their own context
+    vectors — text_hash alone collides, and an arbitrary pick corrupted one
+    record's vector (r3 ADVICE). The key is (text_hash, name_hash)."""
+    from datetime import datetime
+
+    from entity_resolver_spark.operators.features import text_vectors
+    from entity_resolver_spark.operators.transcripts import build_entity_records
+
+    ts = datetime(2024, 1, 1)
+    rows = [
+        ("a", 0, "user", "John Smith works on trains", None, ts),
+        ("b", 0, "user", "JOHN SMITH WORKS ON TRAINS", None, ts),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    records = build_entity_records(t)
+    r = {x["conv_id"]: x for x in records.collect()}
+    assert r["a"]["text_hash"] == r["b"]["text_hash"]
+    assert r["a"]["name_hash"] != r["b"]["name_hash"]
+    assert r["a"]["context_tokens"] != r["b"]["context_tokens"]
+    vecs = text_vectors(records, EngineConfig())
+    joined = {
+        x["conv_id"]: x["vector"]
+        for x in records.select("conv_id", "text_hash", "name_hash")
+        .join(vecs, ["text_hash", "name_hash"], "left")
+        .collect()
+    }
+    # 'a' keeps its own context vector; 'b' (whose extracted name swallowed
+    # the whole turn -> empty context) gets NO vector rather than silently
+    # inheriting a's (the old text_hash-only dedupe picked one arbitrarily).
+    assert joined["a"] is not None
+    assert joined["b"] is None
+
+
+def test_hashed_tf_idf_survives_null_key_component(spark):
+    """IDF's document count must include rows whose composite key contains a
+    NULL (regression: countDistinct over bare (text_hash, name_hash) columns
+    skipped every nameless record, collapsing n_docs to 0 and INVERTING the
+    IDF weights — the giant-cluster defect the er_clusters oracle caught)."""
+    from entity_resolver_spark.functions.hashing import hashed_tf_vectors
+
+    rows = [
+        (1, None, ["common", "common", "rare1"]),
+        (2, None, ["common", "rare2", "x"]),
+        (3, None, ["common", "rare3", "y"]),
+    ]
+    df = spark.createDataFrame(rows, "th long, nh long, toks array<string>")
+    vec_composite = {
+        r["th"]: r["vector"]
+        for r in hashed_tf_vectors(df, ["th", "nh"], "toks", 4096).collect()
+    }
+    vec_single = {
+        r["th"]: r["vector"]
+        for r in hashed_tf_vectors(df, "th", "toks", 4096).collect()
+    }
+    for k in vec_single:
+        assert set(vec_composite[k]) == set(vec_single[k])
+        for b, w in vec_single[k].items():
+            assert vec_composite[k][b] == pytest.approx(w)
+
+
+def test_kmv_jaccard_estimate_tracks_exact(spark):
+    """KMV bottom-k Jaccard: exact when |A ∪ B| <= k; within ~3 std
+    (sqrt(J(1-J)/k)) otherwise; 1.0 for identical sets; ~0 for disjoint."""
+    from entity_resolver_spark.functions.hashing import (
+        kmv_jaccard_expr,
+        kmv_sketch_expr,
+    )
+
+    k = 64
+
+    def est_and_exact(toks_a, toks_b):
+        df = spark.createDataFrame([(toks_a, toks_b)], "a array<string>, b array<string>")
+        out = df.select(
+            kmv_jaccard_expr(
+                kmv_sketch_expr(F.col("a"), 3, k),
+                kmv_sketch_expr(F.col("b"), 3, k),
+                k,
+            ).alias("est")
+        ).collect()[0]["est"]
+        sa = {" ".join(toks_a[i : i + 3]) for i in range(len(toks_a) - 2)}
+        sb = {" ".join(toks_b[i : i + 3]) for i in range(len(toks_b) - 2)}
+        return out, len(sa & sb) / len(sa | sb)
+
+    base = [f"w{i}" for i in range(30)]
+    est, exact = est_and_exact(base, base)
+    assert est == pytest.approx(1.0) and exact == 1.0
+    est, exact = est_and_exact(base, [f"z{i}" for i in range(30)])
+    assert est == pytest.approx(0.0) and exact == 0.0
+    # small sets: union fits in k -> exact
+    half = base[:18] + [f"q{i}" for i in range(12)]
+    est, exact = est_and_exact(base, half)
+    assert est == pytest.approx(exact)
+    # large sets: estimator within 3 * sqrt(J(1-J)/k)
+    big_a = [f"a{i}" for i in range(200)]
+    big_b = big_a[:120] + [f"b{i}" for i in range(80)]
+    est, exact = est_and_exact(big_a, big_b)
+    assert abs(est - exact) <= 3 * (exact * (1 - exact) / k) ** 0.5 + 0.02

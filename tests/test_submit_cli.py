@@ -23,3 +23,38 @@ def test_requires_input_or_table():
 def test_requires_warehouse():
     with pytest.raises(SystemExit):
         submit_job.main(["--input", "/tmp/t.parquet"])
+
+
+def test_incremental_excludes_input():
+    """--incremental reads the warehouse, so --input/--input-table must be
+    rejected rather than silently ignored (r3 ADVICE: confusing contract)."""
+    with pytest.raises(SystemExit):
+        submit_job.parse_args(
+            ["--warehouse", "/tmp/x", "--incremental", "/tmp/new.parquet",
+             "--input", "/tmp/t.parquet"]
+        )
+
+
+def test_incremental_does_not_require_input():
+    """--incremental alone must pass argparse validation (the prior run's
+    records come from the warehouse, not --input)."""
+    args = submit_job.parse_args(
+        ["--warehouse", "/tmp/x", "--incremental", "/tmp/new.parquet"]
+    )
+    assert args.incremental == "/tmp/new.parquet"
+
+
+def test_checkpoint_flags_parse():
+    args = submit_job.parse_args(
+        ["--warehouse", "/tmp/x", "--input", "/tmp/t.parquet",
+         "--checkpoint-dir", "/tmp/ckpt", "--cc-reliable-every", "5"]
+    )
+    assert args.cc_reliable_every == 5 and args.checkpoint_dir == "/tmp/ckpt"
+
+
+def test_cc_reliable_requires_checkpoint_dir():
+    with pytest.raises(SystemExit):
+        submit_job.parse_args(
+            ["--warehouse", "/tmp/x", "--input", "/tmp/t.parquet",
+             "--cc-reliable-every", "5"]
+        )
