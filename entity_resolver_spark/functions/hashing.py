@@ -260,9 +260,11 @@ def kmv_sketch_expr(tokens: Column, shingle_k: int, sketch_k: int) -> Column:
     the per-record carrier for map-side set-similarity estimation (the
     classic KMV/bottom-k construction; same family as the MinHash signatures
     the blocking passes use, but composable into a UNION sketch, which the
-    one-permutation-per-slot signature is not)."""
+    one-permutation-per-slot signature is not). ``sort_array``, not
+    ``array_sort``: the latter carries a lambda comparator and falls off the
+    codegen path."""
     sh = F.array_distinct(shingles_expr(tokens, shingle_k))
-    hashes = F.array_sort(F.transform(sh, lambda s: F.xxhash64(s)))
+    hashes = F.sort_array(F.transform(sh, lambda s: F.xxhash64(s)))
     return F.slice(hashes, 1, sketch_k)
 
 
@@ -271,8 +273,15 @@ def kmv_jaccard_expr(a: Column, b: Column, sketch_k: int) -> Column:
     bottom-k of the UNION (a uniform sample of A ∪ B under the shared hash
     order) and count how many of those sampled elements lie in both sets.
     Exact when |A ∪ B| <= k; std ≈ sqrt(J(1-J)/k) beyond. NULL if either
-    sketch is NULL (callers coalesce to their missing-value policy)."""
-    u = F.slice(F.array_sort(F.array_union(a, b)), 1, sketch_k)
+    sketch is NULL (callers coalesce to their missing-value policy).
+
+    REFERENCE SEMANTICS ONLY — the hot path uses the numerically identical
+    Arrow kernel (``similarity.make_kmv_jaccard_pudf``, equivalence-tested
+    against this form): array_union/array_intersect are CodegenFallback
+    expressions (interpreted, boxing, a hash set per evaluation) and
+    CollapseProject re-inlines the union per consumer — measured
+    ~450us/pair, unusable at 10^7 candidate pairs."""
+    u = F.slice(F.sort_array(F.array_union(a, b)), 1, sketch_k)
     inter = F.array_intersect(u, F.array_intersect(a, b))
     return F.when(
         a.isNull() | b.isNull(), F.lit(None).cast("double")

@@ -331,3 +331,68 @@ def cosine_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
     cos = np.where(both_zero, 1.0, np.where(one_zero, 0.0, cos))
     out[keep] = cos
     return pd.Series(out)
+
+
+def make_kmv_jaccard_pudf(k: int):
+    """Arrow-batched numpy kernel for the KMV bottom-k Jaccard estimate —
+    semantically identical to ``hashing.kmv_jaccard_expr`` (the native twin
+    used as its test oracle) but ~2 orders of magnitude cheaper per pair:
+    Spark's array_union/array_intersect are CodegenFallback expressions
+    (interpreted, element boxing, a hash set allocated per evaluation — and
+    CollapseProject re-inlines the union three times), measured ~450us/pair;
+    this kernel is one vectorized sort over the (batch, 2k) matrix.
+
+    Closure factory (not a module-level UDF) so ``k`` ships to the workers by
+    value inside the serialized closure. NULL either side -> NaN -> SQL NULL
+    (callers coalesce).
+
+    Kernel: pad each side to k with int64-max sentinels, row-sort the
+    concatenation; a duplicated adjacent value is exactly one element of
+    A ∩ B (per-side values are distinct); the u-th distinct value (u =
+    min(k, |A ∪ B|)) is the KMV threshold tau; estimate = |{shared values
+    <= tau}| / u.
+    """
+    sent = np.iinfo(np.int64).max
+
+    @F.pandas_udf(T.DoubleType())
+    def _kmv_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        out = np.full(n, np.nan, dtype=np.float64)
+        av, bv = a.to_numpy(), b.to_numpy()
+        keep = np.fromiter(
+            (x is not None and y is not None for x, y in zip(av, bv)), bool, n
+        )
+        m = int(keep.sum())
+        if m == 0:
+            return pd.Series(out)
+
+        def padded(vals):
+            M = np.full((m, k), sent, dtype=np.int64)
+            lens = np.fromiter((len(x) for x in vals), np.int64, m)
+            if lens.sum():
+                flat = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in vals]
+                )
+                rows = np.repeat(np.arange(m), lens)
+                offs = np.concatenate(([0], np.cumsum(lens)))
+                cols = np.arange(len(flat)) - np.repeat(offs[:-1], lens)
+                M[rows, cols] = flat
+            return M
+
+        S = np.sort(
+            np.concatenate([padded(av[keep]), padded(bv[keep])], axis=1), axis=1
+        )
+        valid = S != sent
+        is_new = np.ones_like(valid)
+        is_new[:, 1:] = S[:, 1:] != S[:, :-1]
+        distinct = is_new & valid
+        cum = np.cumsum(distinct, axis=1)
+        u = np.minimum(cum[:, -1], k)
+        idx = np.argmax(cum >= np.maximum(u, 1)[:, None], axis=1)
+        tau = S[np.arange(m), idx]
+        shared = (~is_new) & valid & (S <= tau[:, None])
+        est = np.where(u > 0, shared.sum(axis=1) / np.maximum(u, 1), 0.0)
+        out[keep] = est
+        return pd.Series(out)
+
+    return _kmv_jaccard

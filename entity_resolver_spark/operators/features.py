@@ -36,12 +36,12 @@ from pyspark.sql import functions as F
 from entity_resolver_spark.config import EngineConfig
 from entity_resolver_spark.functions.hashing import (
     hashed_tf_vectors,
-    kmv_jaccard_expr,
     kmv_sketch_expr,
 )
 from entity_resolver_spark.functions.similarity import (
     jaro_winkler_pudf,
     levenshtein_sim_expr,
+    make_kmv_jaccard_pudf,
     sparse_cosine_pudf,
 )
 from entity_resolver_spark.functions.years import (
@@ -220,13 +220,15 @@ def pair_inputs(
         # copy-edited near-duplicate text (high shingle overlap) from merely
         # topical similarity (high cosine, low shingle overlap) — unigram
         # TF-IDF cosine saturates on small-vocabulary corpora where every
-        # record looks topically alike. Identical-hash short-circuit as for
-        # cosine; missing side -> 0.0 (no overlap evidence).
+        # record looks topically alike. Arrow kernel, evaluated in the SAME
+        # ArrowEvalPython stage as the cosine UDF; identical-hash
+        # short-circuit as for cosine; missing side -> 0.0 (no overlap
+        # evidence; the UDF's NaN converts to SQL NULL).
         F.when(L("text_hash") == R("text_hash"), F.lit(1.0))
         .otherwise(
             F.coalesce(
-                kmv_jaccard_expr(
-                    L("_sketch"), R("_sketch"), cfg.shingle_sketch_k
+                make_kmv_jaccard_pudf(cfg.shingle_sketch_k)(
+                    L("_sketch"), R("_sketch")
                 ),
                 F.lit(0.0),
             )
