@@ -579,12 +579,36 @@ def q_cluster_size_dist(spark, sf_dir):
 
 
 def q_er_impute(spark, sf_dir):
-    """Subject-imputation analogue: top-k tool votes for conversations that
-    never called one, from block-neighbors that did (rows-only: blocking keys
-    are xxhash64-derived). Tools are planted deterministically on every 5th
-    primary conversation so donors exist."""
+    """Subject-imputation analogue, ORACLE-CHECKED as a planted-label
+    recovery invariant (was the last rows-only query; its raw scores are
+    hashed-TF cosines DuckDB cannot reproduce, but WHICH value wins is
+    derivable). A two-valued attribute is planted on every 5th primary
+    conversation d{i} (value keyed by i so both classes occur); the full
+    impute operator runs over the whole corpus, and the query returns the
+    rank-1 vote for each variant v{j} whose own primary is a donor
+    (j % 15 == 0: j % 3 == 0 means the variant exists, j % 5 == 0 means
+    d{j} carries a planted value). The oracle emits the expected
+    (conv_id, planted value) rows: a missing recovery (no donor met the
+    similarity floor) OR a wrong winning value both hash-mismatch — recall
+    and precision of the blocked-KNN vote in one check. donor_top_k=1 makes
+    the winner the NEAREST donor (the reference's KNN shape): on this corpus
+    every variant's own primary beats the best unrelated donor by >=0.06
+    cosine (measured: min own-donor sim 0.932, per-row min margin 0.060),
+    while the unrestricted sum-vote would legitimately track the
+    neighborhood majority (unrelated small-vocabulary docs reach 0.93
+    cosine) and is covered by the planted-label pytest instead. Docs with a
+    coincidental near-identical partner (exact trigram Jaccard >= 0.8, same
+    exclusion and rationale as er_clusters) are removed from the CHECK
+    subset on both sides: for those, content gives the resolver no way to
+    prefer the planted donor over the coincidental one. min_similarity=0.7
+    additionally gates that the recovery comes from a genuinely similar
+    donor."""
     from entity_resolver_spark.config import EngineConfig
     from entity_resolver_spark.operators.blocking import all_blocks, split_hot_blocks
+    from entity_resolver_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
     from entity_resolver_spark.operators.features import text_vectors
     from entity_resolver_spark.operators.imputation import impute_attribute
     from entity_resolver_spark.operators.transcripts import build_entity_records
@@ -594,16 +618,39 @@ def q_er_impute(spark, sf_dir):
     records = build_entity_records(t).localCheckpoint()
     vectors = text_vectors(records, cfg)
     blocks = split_hot_blocks(all_blocks(records, cfg), cfg)
+    doc_num = F.substring("conv_id", 2, 10).cast("int")
     attrs = records.select(
         "conv_id",
         F.when(
-            F.col("conv_id").startswith("d")
-            & (F.pmod(F.substring("conv_id", 2, 10).cast("int"), F.lit(5)) == 0),
-            F.lit("search_catalog"),
+            F.col("conv_id").startswith("d") & (F.pmod(doc_num, F.lit(5)) == 0),
+            F.when(
+                F.pmod(doc_num, F.lit(10)) == 0, F.lit("search_catalog")
+            ).otherwise(F.lit("web_search")),
         ).alias("attr"),
     )
-    return impute_attribute(records, vectors, attrs, blocks).orderBy(
-        "conv_id", "rank", "attr"
+    out = impute_attribute(
+        records, vectors, attrs, blocks, min_similarity=0.7, donor_top_k=1
+    )
+    docs = _read(spark, sf_dir, "documents")
+    nd = ngram_jaccard_pairs(
+        docs, minhash_dedup_pairs(docs).select("left", "right")
+    ).where(F.col("jaccard") >= 0.8)
+    excl = (
+        nd.select(F.col("left").alias("doc_id"))
+        .unionByName(nd.select(F.col("right").alias("doc_id")))
+        .distinct()
+        .select(F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias("conv_id"))
+    )
+    out_num = F.substring("conv_id", 2, 10).cast("int")
+    return (
+        out.where(
+            (F.col("rank") == 1)
+            & F.col("conv_id").startswith("v")
+            & (F.pmod(out_num, F.lit(15)) == 0)
+        )
+        .join(excl, "conv_id", "left_anti")
+        .select("conv_id", "attr")
+        .orderBy("conv_id")
     )
 
 
@@ -1208,11 +1255,36 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'size', '2', CAST(n_dups AS VARCHAR) FROM c
             ) ORDER BY kind, a, b
         """,
-        # er_impute is the one remaining rows-only query: its neighborhood
-        # votes weight by cosines over xxhash64-bucketed hashed-TF vectors,
-        # which DuckDB cannot reproduce bit-for-bit. Its kernels ARE
-        # oracle-checked through exact-path twins (embedding_near_dup /
-        # embedding_label_centroid_sim for sparse cosine,
-        # topk_orders_per_customer for the top-k window) plus a
-        # planted-label recovery pytest (tests/test_imputation.py).
+        "er_impute": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(regexp_replace(
+                           regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
+                           '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct([array_to_string(
+                                     list_slice(toks, i, i + 2), ' ')
+                                 for i in range(1, len(toks) - 1)])
+                            ELSE [array_to_string(toks, ' ')] END AS g
+                FROM t
+            ), nd AS (
+                SELECT a.doc_id AS l, b.doc_id AS r
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.g, b.g)) * 1.0
+                      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+                      >= 0.8
+            ), excl AS (
+                SELECT l AS doc_id FROM nd UNION SELECT r FROM nd
+            )
+            SELECT 'v' || CAST(doc_id AS VARCHAR) AS conv_id,
+                   CASE WHEN doc_id % 10 = 0 THEN 'search_catalog'
+                        ELSE 'web_search' END AS attr
+            FROM documents
+            WHERE doc_id % 15 = 0
+              AND doc_id NOT IN (SELECT doc_id FROM excl)
+            ORDER BY conv_id
+        """,
     }

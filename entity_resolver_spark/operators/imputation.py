@@ -48,6 +48,7 @@ def impute_attribute(
     attr_col: str = "attr",
     min_similarity: float = 0.3,
     top_k: int = 3,
+    donor_top_k: int | None = None,
 ) -> DataFrame:
     """Fill missing attributes.
 
@@ -60,6 +61,14 @@ def impute_attribute(
     Output: (conv_id, attr, score, rank) — top-k imputed values per record
     that lacks one, score = sum of neighbor cosines (weighted vote,
     reference's np.average(vectors, weights=similarities)).
+
+    ``donor_top_k`` restricts the vote to each record's K most-similar
+    donors before aggregating — the reference's KNN shape (subject vectors
+    come from the K nearest composites returned by the vector store, not
+    every candidate above a floor; /root/reference/src/subject_imputation.py
+    :298-341). None keeps the all-qualifying-donors vote. The rank window
+    partitions by the missing record, whose neighbor list is already bounded
+    by blocking + the similarity floor — no skew concern at scale.
     """
     vectors = _one_vector_per_text(vectors)
     have = attr_table.where(F.col(attr_col).isNotNull())
@@ -92,11 +101,19 @@ def impute_attribute(
         .join(vr, "donor_hash")
         .select(
             "m_id",
+            "donor_id",
             attr_col,
             sparse_cosine_expr(F.col("m_vec"), F.col("d_vec")).alias("sim"),
         )
         .where(F.col("sim") >= min_similarity)
     )
+    if donor_top_k is not None:
+        dw = Window.partitionBy("m_id").orderBy(F.desc("sim"), F.asc("donor_id"))
+        scored = (
+            scored.withColumn("_dr", F.row_number().over(dw))
+            .where(F.col("_dr") <= donor_top_k)
+            .drop("_dr")
+        )
     votes = scored.groupBy("m_id", attr_col).agg(
         F.sum("sim").alias("score"), F.count(F.lit(1)).alias("n_donors")
     )

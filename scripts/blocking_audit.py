@@ -9,8 +9,12 @@ forgone-TRUE-pair check (truth coverage of raw block keys vs post-split
 pairs), and parameter variants for the highest-volume passes.
 
 Usage: python scripts/blocking_audit.py [n_entities] [--loo] [--variants]
-  (solo table always runs; --loo adds the 8 leave-one-out unions; --variants
-   sweeps rare-shingle df caps and a min-support-2 pair filter)
+                                        [--union-only]
+  (solo table runs unless --union-only; --loo adds the 8 leave-one-out
+   unions; --variants sweeps rare-shingle df caps and a min-support-2 pair
+   filter; --union-only reports just the DEFAULT-profile union volume,
+   recall, and hot-split forgone-TRUE-pair check — the cheap per-commit
+   regression probe)
 """
 
 from __future__ import annotations
@@ -114,14 +118,15 @@ def main() -> None:
           f"{n_truth} labeled true pairs ===", flush=True)
 
     solo = {}
-    for name, fn in passes.items():
-        t0 = time.monotonic()
-        p = pairs_of(fn())
-        n = p.count()
-        rec = covered(p) / n_truth
-        solo[name] = (n, rec, time.monotonic() - t0)
-        print(f"solo {name:14s} pairs={n:>10d} recall={rec:.5f} "
-              f"wall={solo[name][2]:.1f}s", flush=True)
+    if "--union-only" not in flags:
+        for name, fn in passes.items():
+            t0 = time.monotonic()
+            p = pairs_of(fn())
+            n = p.count()
+            rec = covered(p) / n_truth
+            solo[name] = (n, rec, time.monotonic() - t0)
+            print(f"solo {name:14s} pairs={n:>10d} recall={rec:.5f} "
+                  f"wall={solo[name][2]:.1f}s", flush=True)
 
     all_blocks = B.all_blocks(records, cfg).localCheckpoint()
     all_pairs = pairs_of(all_blocks)

@@ -97,3 +97,47 @@ def test_audit_flags_planted_bad_label(spark):
     assert flagged["a5"]["suggested"] == "search_catalog"
     assert flagged["a5"]["n_donors"] == 4
     assert flagged["a5"]["current_score"] == pytest.approx(0.0)
+
+
+def test_impute_donor_top_k_nearest_wins(spark):
+    """donor_top_k=1 restricts the vote to the single most-similar donor
+    (reference KNN shape): two mildly-similar donors agreeing on one value
+    must NOT out-vote the one near-identical donor when the vote is KNN-1,
+    but DO win the unrestricted sum-vote."""
+    base = "symphony vienna lieder composition piano quartet sonata opus"
+    rows = []
+    # m1: unlabeled, near-identical to donor d1
+    rows.append(("m1", 0, "user", f"Schubert, Franz. {base}", None, None))
+    rows.append(("d1", 0, "user", f"Schubert, Franz. {base} allegro", None, None))
+    # two donors sharing most tokens with m1 but less than d1 does
+    for cid in ("d2", "d3"):
+        rows.append(
+            (cid, 0, "user",
+             f"Schubert, Franz. {base} minuet rondo coda finale overture",
+             None, None)
+        )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    cfg = EngineConfig()
+    records = build_entity_records(df).cache()
+    vectors = text_vectors(records, cfg)
+    blocks = split_hot_blocks(all_blocks(records, cfg), cfg)
+    attrs = spark.createDataFrame(
+        [("d1", "search_catalog"), ("d2", "web_search"), ("d3", "web_search")],
+        ["conv_id", "attr"],
+    )
+    top1 = {
+        r["conv_id"]: r["attr"]
+        for r in impute_attribute(
+            records, vectors, attrs, blocks, donor_top_k=1
+        ).where(F.col("rank") == 1).collect()
+    }
+    assert top1["m1"] == "search_catalog"
+    full = {
+        r["conv_id"]: r["attr"]
+        for r in impute_attribute(records, vectors, attrs, blocks)
+        .where(F.col("rank") == 1)
+        .collect()
+    }
+    assert full["m1"] == "web_search"
