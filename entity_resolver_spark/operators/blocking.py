@@ -36,6 +36,20 @@ members are ordered by the sorted name key, the pairs a split forgoes are the
 name-distant ones; same-name neighbors stay together. The forgone-pair count
 is exact and observable via ``hot_block_metrics`` (recorded per run by the
 pipeline).
+
+Durability note (cluster scale): the ``localCheckpoint()`` calls in this
+module are LINEAGE cuts, not durability points — blocks live on executors
+and are lost with them. That is safe here because blocking is a single
+pipeline STAGE: the Warehouse stage boundary (plans/pipeline.py writes
+``candidate_pairs`` to parquet via the two-rename commit) is the durable
+cut, and a mid-stage executor loss merely recomputes this stage from the
+previous stage table, never from raw input. The cuts that would need to
+become Warehouse round-trips if blocking were ever split into separately
+resumable sub-stages are: the global-rank stamp (`_pid` rows, SNM), the
+rare-shingle inverted index (scanned for df-cap + probe), and the
+post-split block table feeding the pair self-join. The CC loop is the one
+place where an intra-stage failure loses unbounded work; it has the
+``reliable_every`` knob instead (operators/clustering.py).
 """
 
 from __future__ import annotations
