@@ -129,14 +129,18 @@ def main() -> None:
     # fast path, the shuffled equi-join is the 100-TB path (and what
     # auto-select picks once the record side outgrows the broadcast cap —
     # its hash-relation build is single-threaded driver work).
+    # (Skippable via env inside the scaling protocol, where each window
+    # repeats the whole bench 4x and this untaken-path evidence — already
+    # recorded by every default bench run — costs ~5 min per N-side run.)
     auto_bcast = n_records <= BROADCAST_MAX_RECORDS
-    t0 = time.monotonic()
-    pair_inputs(
-        pairs, records, vectors=vectors, broadcast_dims=not auto_bcast
-    ).write.format("noop").mode("overwrite").save()
-    timings["er_pair_inputs_smj" if auto_bcast else "er_pair_inputs_bcast"] = round(
-        time.monotonic() - t0, 3
-    )
+    if not os.environ.get("SPARK_GRAFT_SKIP_ALT_JOIN"):
+        t0 = time.monotonic()
+        pair_inputs(
+            pairs, records, vectors=vectors, broadcast_dims=not auto_bcast
+        ).write.format("noop").mode("overwrite").save()
+        timings[
+            "er_pair_inputs_smj" if auto_bcast else "er_pair_inputs_bcast"
+        ] = round(time.monotonic() - t0, 3)
 
     scored_plan = score_pairs(features_from_inputs(inputs), model)
     # First pass pays whole-stage codegen compilation, Python worker spin-up,

@@ -49,6 +49,10 @@ def run(cpus: int, sf_dir: str, n_entities: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_BENCH_ENTITIES=str(n_entities),
+        # The untaken-join-path side benchmark is independent evidence
+        # (recorded by default bench runs); inside the protocol it only
+        # stretches each window and adds self-noise.
+        SPARK_GRAFT_SKIP_ALT_JOIN="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
