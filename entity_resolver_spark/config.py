@@ -90,6 +90,24 @@ SHINGLE_SKETCH_K = 64
 # no name pass can key). 0/1 disables.
 RARE_SHINGLE_MAX_DF = 6
 
+# Shingle length for the rare-shingle index — deliberately LONGER than
+# SHINGLE_K (which feeds the MinHash signatures and the KMV text_jaccard
+# sketch, both tuned for Jaccard estimation). Rarity must hold against
+# corpus growth: over a bounded vocabulary the df of every k-shingle grows
+# linearly with the corpus, so an absolute df cap silently strangles the
+# pass as data scales (measured: 3-shingles at df<=6 covered blocking
+# recall 0.989 at 252k records but only 0.945 at 504k — crowding-out, the
+# same pairs, the same cap). The scale-correct response is a LONGER
+# shingle, which restores per-shingle specificity at the SAME C(df, 2)
+# volume bound — raising the df cap instead buys less recall for more
+# pairs (504k records: k=4/df6 recall 0.99778 at 88 pairs/rec vs k=3/df12
+# 0.98592 at 105). Rule of thumb when scaling further: grow k until the
+# rare-shingle pass again covers >=90% of records with >=1 rare shingle;
+# k=4 survives the corpus's 12% token-dropout noise fine (a 4-shingle
+# survives both sides of a near-dup pair with p ~ 0.36 per occurrence,
+# and every conversation carries dozens of shingles).
+RARE_SHINGLE_K = 4
+
 # Skew guard: blocks larger than this are split deterministically; the split
 # (and the pairs it forgoes) is recorded in stage metrics. A block of size B
 # emits B^2/2 pairs, so the cap bounds per-block pair fan-out quadratically
@@ -199,6 +217,7 @@ class EngineConfig:
     minhash_text_enabled: bool = MINHASH_TEXT_ENABLED
     anchor_forms: tuple = ANCHOR_FORMS
     rare_shingle_max_df: int = RARE_SHINGLE_MAX_DF
+    rare_shingle_k: int = RARE_SHINGLE_K
     max_block_size: int = MAX_BLOCK_SIZE
     cc_reliable_every: int = CC_RELIABLE_EVERY
     broadcast_max_records: int = BROADCAST_MAX_RECORDS

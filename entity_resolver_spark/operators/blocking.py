@@ -286,7 +286,13 @@ def name_lsh_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
 
 def rare_shingle_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
     """B7: inverted index on RARE text shingles — block key = any distinct
-    word shingle whose document frequency is <= ``rare_shingle_max_df``.
+    word ``rare_shingle_k``-shingle whose document frequency is
+    <= ``rare_shingle_max_df``. The shingle here is LONGER than the
+    Jaccard-estimation shingles (``shingle_k``): rarity decays as the
+    corpus grows over a bounded vocabulary, and the scale-correct response
+    is a longer (more specific) shingle at the SAME df cap, not a higher
+    cap — see the RARE_SHINGLE_K note in config.py for the 252k/504k-record
+    measurements.
 
     Near-duplicate texts share many shingles, and the rare ones identify the
     family almost uniquely, so this pass catches pairs whose NAMES are
@@ -311,7 +317,7 @@ def rare_shingle_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
     sh = records.select(
         "conv_id",
         F.explode(
-            F.array_distinct(shingles_expr(F.col("tokens"), cfg.shingle_k))
+            F.array_distinct(shingles_expr(F.col("tokens"), cfg.rare_shingle_k))
         ).alias("_g"),
         _sorted_name_key().alias("skey"),
     ).select("conv_id", F.xxhash64("_g").alias("_gh"), "skey")
