@@ -123,7 +123,14 @@ def main() -> None:
         }
         windows.append(row)
         print(json.dumps({k2: v for k2, v in row.items() if k2 not in ("r_n", "r_4n")}), flush=True)
+        # Rewrite the report after EVERY window (median of windows-so-far):
+        # a multi-hour protocol interrupted mid-run still leaves evidence.
+        write_report(windows, sf_dir, n, n_entities, k, n_windows)
 
+
+def write_report(
+    windows: list, sf_dir: str, n: int, n_entities: int, k: int, n_windows: int
+) -> None:
     effs = sorted(x["eff"] for x in windows)
     med_eff = effs[len(effs) // 2]
     med_vs_ctl = sorted(x["eff_vs_ctl"] for x in windows)[len(windows) // 2]
@@ -149,7 +156,8 @@ corpus: {n_entities} synthetic entities ({best['r_4n']['er_records']} records,
 {best['r_4n']['er_candidate_pairs']} candidate pairs) — large enough that the
 scoring segment is work-bound at N rather than dominated by the measured
 ~1.25s parallelism-independent per-pass floor. Each measurement is repeated
-{k}x and the minimum kept; the WHOLE protocol runs {n_windows} windows at
+{k}x and the minimum kept; the WHOLE protocol runs {n_windows} windows
+({len(windows)} completed at this write) at
 THIS commit's config, and the gate is the MEDIAN window (not best-of),
 with each window's own pure-JVM control (chained sha2 map — the ceiling a
 fully compute-bound job reaches on this shared-VM box in that window).
@@ -179,7 +187,11 @@ Raw bench lines (median window by efficiency):
 ```
 """
         )
-    print(f"wrote {path}; median efficiency={med_eff:.3f}")
+    print(
+        f"wrote {path} ({len(windows)}/{n_windows} windows); "
+        f"median efficiency={med_eff:.3f}",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
