@@ -129,6 +129,15 @@ MIN_EDGE_CONFIDENCE = 0.65
 # (decision 0.56 + the reference-style safety band).
 DEFAULT_EDGE_THRESHOLD = 0.67
 
+# G3 post-classification match enhancement (operators/enhancement.py):
+# "none" | "minimal" | "moderate" | "aggressive". The reference SHIPS this
+# disabled (config.yml:26, early return src/classifying.py:1985-1987) and so
+# do we; enhanced edges carry confidence 0.60, which the strict clustering
+# default above (0.65) filters back out — flip this AND lower
+# min_edge_confidence to make enhancement affect strict clusters, exactly
+# the reference's config contract.
+ENHANCEMENT_AGGRESSIVENESS = "none"
+
 # Birth/death year tolerance (reference config.yml:330, used at
 # src/feature_engineering.py:1174-1302).
 YEAR_TOLERANCE = 2
@@ -220,6 +229,7 @@ class EngineConfig:
     rare_shingle_k: int = RARE_SHINGLE_K
     max_block_size: int = MAX_BLOCK_SIZE
     cc_reliable_every: int = CC_RELIABLE_EVERY
+    enhancement_aggressiveness: str = ENHANCEMENT_AGGRESSIVENESS
     broadcast_max_records: int = BROADCAST_MAX_RECORDS
     decision_threshold: float = DECISION_THRESHOLD
     min_edge_confidence: float = MIN_EDGE_CONFIDENCE

@@ -26,6 +26,7 @@ from entity_resolver_spark.operators.blocking import (
     split_hot_blocks,
 )
 from entity_resolver_spark.operators.clustering import cluster_records
+from entity_resolver_spark.operators.enhancement import enhance_matches
 from entity_resolver_spark.operators.features import (
     features_from_inputs,
     pair_features,
@@ -140,13 +141,23 @@ class ResolutionPipeline:
         )
 
         edge_t = max(cfg.min_edge_confidence, self.model.edge_threshold)
-        clusters = self._run_stage(
-            "clusters",
-            lambda: cluster_records(
-                records, scored, edge_t, reliable_every=cfg.cc_reliable_every
-            ),
-            resume,
-        )
+
+        def build_clusters() -> DataFrame:
+            edges = scored
+            # G3 match enhancement (reference-disabled default "none"):
+            # verified transitive + singleton-rescue edges at confidence
+            # 0.60, unioned BEFORE the edge_t filter — like the reference,
+            # they only shape clusters when the edge threshold admits them.
+            if cfg.enhancement_aggressiveness != "none":
+                extra = enhance_matches(
+                    records, scored, pairs, cfg, vectors=vectors
+                )
+                edges = scored.unionByName(extra.select(*scored.columns))
+            return cluster_records(
+                records, edges, edge_t, reliable_every=cfg.cc_reliable_every
+            )
+
+        clusters = self._run_stage("clusters", build_clusters, resume)
         return PipelineResult(clusters=clusters, metrics=self.metrics)
 
     # ------------------------------------------------------------------

@@ -49,6 +49,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "land here and survive executor loss (localCheckpoint blocks do not)",
     )
     p.add_argument(
+        "--enhancement",
+        choices=["none", "minimal", "moderate", "aggressive"],
+        default="none",
+        help="G3 post-classification match enhancement (reference "
+        "config.yml:26 enhancement_aggressiveness; disabled there and "
+        "here by default). Enhanced edges carry confidence 0.60 — lower "
+        "min_edge_confidence via a custom model to let strict clustering "
+        "consume them",
+    )
+    p.add_argument(
         "--cc-reliable-every",
         type=int,
         default=0,
@@ -86,7 +96,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.model:
         with open(args.model) as f:
             model = Model.from_json(f.read())
-    cfg = EngineConfig(cc_reliable_every=args.cc_reliable_every)
+    cfg = EngineConfig(
+        cc_reliable_every=args.cc_reliable_every,
+        enhancement_aggressiveness=args.enhancement,
+    )
     pipe = ResolutionPipeline(spark, args.warehouse, cfg=cfg, model=model)
     if args.incremental:
         result = pipe.run_incremental(spark.read.parquet(args.incremental))

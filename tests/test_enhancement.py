@@ -1,0 +1,181 @@
+"""G3 match enhancement: transitive candidates, singleton rescue, presets.
+
+Reference semantics: /root/reference/src/classifying.py:1970-2160 (shipped
+disabled; enhanced edges at confidence 0.60).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolver_spark.config import EngineConfig
+from entity_resolver_spark.operators.enhancement import (
+    ENHANCED_CONFIDENCE,
+    enhance_matches,
+)
+from entity_resolver_spark.operators.transcripts import build_entity_records
+
+_CTX = "radiation isotope laboratory polonium notebook"
+
+
+def _records(spark, rows):
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    return build_entity_records(df).localCheckpoint()
+
+
+def _scored(spark, edges):
+    return spark.createDataFrame(
+        [(l, r, p, m) for (l, r, p, m) in edges],
+        "left string, right string, proba double, is_match boolean",
+    )
+
+
+def _pairs(spark, pairs):
+    return spark.createDataFrame(pairs, "left string, right string")
+
+
+@pytest.fixture(scope="module")
+def chain4(spark):
+    """a-b-c-d matched as a chain; all four share identical context text."""
+    rows = [
+        (cid, 0, "user", f"{name}. {_CTX}", None, None)
+        for cid, name in [
+            ("a", "Curie, Marie"),
+            ("b", "Curie, M."),
+            ("c", "Sklodowska Curie, Marie"),
+            ("d", "Curie, Marya"),
+        ]
+    ]
+    records = _records(spark, rows)
+    scored = _scored(
+        spark,
+        [("a", "b", 0.9, True), ("b", "c", 0.9, True), ("c", "d", 0.9, True)],
+    )
+    return records, scored
+
+
+def _edge_set(df):
+    return {(r["left"], r["right"]) for r in df.collect()}
+
+
+def test_none_returns_empty(spark, chain4):
+    records, scored = chain4
+    out = enhance_matches(
+        records, scored, _pairs(spark, [("a", "c")]), aggressiveness="none"
+    )
+    assert out.count() == 0
+    assert out.columns == ["left", "right", "proba", "is_match"]
+
+
+def test_minimal_is_structural_noop(spark, chain4):
+    """max_distance=1 leaves the transitive frontier empty and the singleton
+    pass is skipped — exactly the reference's 'minimal' behavior
+    (classifying.py: range(2, 2) loop + aggressiveness != 'minimal' gate)."""
+    records, scored = chain4
+    out = enhance_matches(
+        records, scored, _pairs(spark, [("a", "c")]), aggressiveness="minimal"
+    )
+    assert out.count() == 0
+
+
+def test_moderate_adds_distance2_verified_edges(spark, chain4):
+    records, scored = chain4
+    out = enhance_matches(
+        records, scored, _pairs(spark, []), aggressiveness="moderate"
+    )
+    got = _edge_set(out)
+    # distance-2 pairs of the chain; (a, d) is distance 3 — excluded
+    assert got == {("a", "c"), ("b", "d")}
+    row = out.collect()[0]
+    assert row["proba"] == pytest.approx(ENHANCED_CONFIDENCE)
+    assert row["is_match"] is True
+
+
+def test_aggressive_reaches_distance3(spark, chain4):
+    records, scored = chain4
+    out = enhance_matches(
+        records, scored, _pairs(spark, []), aggressiveness="aggressive"
+    )
+    assert _edge_set(out) == {("a", "c"), ("b", "d"), ("a", "d")}
+
+
+def test_low_cosine_extended_pair_rejected(spark):
+    """Distance-2 candidates verify at text_cosine >= 0.60 — divergent
+    contexts must NOT merge (classifying.py:2075-2078)."""
+    rows = [
+        ("a", 0, "user", f"Curie, Marie. {_CTX}", None, None),
+        ("b", 0, "user", "Curie, M. violin sonata orchestration rehearsal", None, None),
+        ("c", 0, "user", "Curie, Marya. glacier moraine sediment survey", None, None),
+    ]
+    records = _records(spark, rows)
+    scored = _scored(spark, [("a", "b", 0.9, True), ("b", "c", 0.9, True)])
+    out = enhance_matches(records, scored, _pairs(spark, []), aggressiveness="moderate")
+    assert _edge_set(out) == set()
+
+
+def test_existing_edges_never_duplicated(spark, chain4):
+    records, scored = chain4
+    out = enhance_matches(records, scored, _pairs(spark, []), aggressiveness="moderate")
+    direct = {("a", "b"), ("b", "c"), ("c", "d")}
+    assert _edge_set(out) & direct == set()
+
+
+def test_singleton_rescued_via_best_blocked_neighbor(spark):
+    """A record with no match edge gets its single most name-similar blocked
+    candidate, verified by text cosine (classifying.py:2106-2152)."""
+    rows = [
+        ("a", 0, "user", f"Einstein, Albert. {_CTX}", None, None),
+        ("b", 0, "user", f"Einstein, A. {_CTX}", None, None),
+        ("s", 0, "user", f"Einstein, Alberta. {_CTX}", None, None),
+    ]
+    records = _records(spark, rows)
+    scored = _scored(spark, [("a", "b", 0.9, True)])
+    out = enhance_matches(
+        records, scored, _pairs(spark, [("a", "s"), ("b", "s")]),
+        aggressiveness="moderate",
+    )
+    got = _edge_set(out)
+    assert len(got) == 1  # at most ONE rescued edge per singleton
+    assert got <= {("a", "s"), ("b", "s")}
+
+
+def test_singleton_top1_failing_verify_means_no_fallback(spark):
+    """If the single best name-similar neighbor fails the cosine verify, the
+    singleton stays unmatched — no fallback to the runner-up (the reference
+    considers at most one candidate per singleton)."""
+    rows = [
+        # top name-similar neighbor: identical name, divergent context
+        ("n1", 0, "user", "Einstein, Alberta. violin sonata rehearsal room", None, None),
+        # runner-up by name, same context
+        ("n2", 0, "user", f"Einstein, A. {_CTX}", None, None),
+        ("s", 0, "user", f"Einstein, Alberta. {_CTX}", None, None),
+        # a matched pair so n1/n2 are not singletons themselves
+        ("n3", 0, "user", "Einstein, Alberta. violin sonata rehearsal room", None, None),
+    ]
+    records = _records(spark, rows)
+    scored = _scored(
+        spark, [("n1", "n3", 0.9, True), ("n2", "n3", 0.9, True)]
+    )
+    out = enhance_matches(
+        records, scored, _pairs(spark, [("n1", "s"), ("n2", "s")]),
+        aggressiveness="moderate",
+    )
+    # s's top-1 by name_jw is n1 (identical name) whose context diverges ->
+    # rejected; n2 must NOT be rescued in its place. (n1, s)/(n2, s) may also
+    # not appear as extended pairs because s has no match edge.
+    assert not {p for p in _edge_set(out) if "s" in p}
+
+
+def test_unknown_aggressiveness_raises(spark, chain4):
+    records, scored = chain4
+    with pytest.raises(ValueError):
+        enhance_matches(records, scored, _pairs(spark, []), aggressiveness="max")
+
+
+def test_config_default_is_none():
+    assert EngineConfig().enhancement_aggressiveness == "none"

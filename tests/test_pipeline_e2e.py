@@ -169,3 +169,25 @@ def test_pipeline_reliable_checkpoint_wired(spark, transcripts, tmp_path, traine
     assert sorted(map(tuple, durable.clusters.collect())) == sorted(
         map(tuple, base.clusters.collect())
     )
+
+
+def test_pipeline_enhancement_wired(spark, transcripts, tmp_path, trained):
+    """EngineConfig.enhancement_aggressiveness must reach enhance_matches
+    through the product path. Enhanced edges carry confidence 0.60 < the
+    strict edge threshold, so with the default min_edge_confidence the
+    clusters must equal the baseline's (the reference's exact contract:
+    strict clustering filters enhancement back out); the pass must at
+    least run and not disturb the pipeline."""
+    from entity_resolver_spark.config import EngineConfig
+
+    model, _ = trained
+    base = ResolutionPipeline(spark, str(tmp_path / "noenh"), model=model).run(
+        transcripts, resume=False
+    )
+    cfg = EngineConfig(enhancement_aggressiveness="moderate")
+    enh = ResolutionPipeline(
+        spark, str(tmp_path / "enh"), cfg=cfg, model=model
+    ).run(transcripts, resume=False)
+    assert sorted(map(tuple, enh.clusters.collect())) == sorted(
+        map(tuple, base.clusters.collect())
+    )

@@ -58,3 +58,20 @@ def test_cc_reliable_requires_checkpoint_dir():
             ["--warehouse", "/tmp/x", "--input", "/tmp/t.parquet",
              "--cc-reliable-every", "5"]
         )
+
+
+def test_enhancement_choice_validated():
+    """--enhancement takes the reference's four aggressiveness levels and
+    rejects anything else; default is the reference-parity 'none'."""
+    args = submit_job.parse_args(
+        ["--warehouse", "/tmp/x", "--input", "/tmp/t.parquet",
+         "--enhancement", "moderate"]
+    )
+    assert args.enhancement == "moderate"
+    args = submit_job.parse_args(["--warehouse", "/tmp/x", "--input", "/tmp/t.parquet"])
+    assert args.enhancement == "none"
+    with pytest.raises(SystemExit):
+        submit_job.parse_args(
+            ["--warehouse", "/tmp/x", "--input", "/tmp/t.parquet",
+             "--enhancement", "max"]
+        )
