@@ -773,6 +773,120 @@ def q_er_clusters(spark, sf_dir):
     return co_clustered.unionByName(dist).orderBy("kind", "a", "b")
 
 
+def _doc_family_turns(docs, prefix: str, drop_mod: int | None, name: str | None):
+    """Deterministic record family derived from documents: conv_id
+    ``{prefix}{doc_id}``, tokens = doc tokens minus every ``drop_mod``-th
+    (keyed by doc_id, like derive_transcripts' v-variant), optionally
+    prefixed with a planted two-token capitalized NAME (prepended AFTER the
+    drop so the name survives verbatim in every family member). Re-splits
+    into the same 12-token turn windows as derive_transcripts."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    if drop_mod is not None:
+        toks = F.filter(
+            toks, lambda t, i: F.pmod(i + F.col("doc_id"), F.lit(drop_mod)) != 0
+        )
+    if name is not None:
+        first, last = name.split()
+        toks = F.concat(F.array(F.lit(first), F.lit(last)), toks)
+    turn_w = 12
+    base = docs.select(
+        F.concat(F.lit(prefix), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.col("doc_id"),
+        toks.alias("_t"),
+        F.greatest(F.ceil(F.size(toks) / turn_w).cast("int"), F.lit(1)).alias("_nt"),
+    )
+    return base.select(
+        "conv_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nt") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i * turn_w + 1, turn_w)),
+            )
+        ).alias("turn_idx", "text"),
+        F.lit("user").alias("role"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") * 3600
+        ).alias("ts"),
+    ).select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "role", "text", "tool", "ts")
+
+
+def q_er_enhance(spark, sf_dir):
+    """G3 match enhancement, ORACLE-CHECKED via a planted match graph whose
+    enhanced-edge set is exactly derivable (operators/enhancement.py;
+    reference /root/reference/src/classifying.py:1970-2160):
+
+    * transitive pass — for docs i % 6 == 0 the match edges form the chain
+      d{i}—v{i}—w{i}—z{i} (w/z are extra same-doc variants dropping every
+      13th/17th token — pairwise text cosine >= ~0.9, far above the 0.60
+      verify floor). At 'moderate' (max_distance=2) the enhanced edges must
+      be EXACTLY the distance-2 pairs (d,w) and (v,z): the distance-3 pair
+      (d,z) is a structural negative (depth gate), the direct edges are
+      anti-joined out, and docs i % 6 == 3 keep their plain d—v component
+      (size 2: no distance-2 pairs, contributes nothing).
+    * singleton rescue — for docs j % 6 == 1 four fresh records are planted:
+      singletons r{j} (full doc text, name 'Marcus Webb') and a{j}
+      (drops every 11th token, same name), plus decoys b{j}/c{j} (full text,
+      name 'Marcus Weld') married by a planted b—c match edge. Blocked
+      candidates are (r,a) and (r,b): both pass the name gate
+      (name_jw 1.0 / 0.927 >= 0.70, kernel-verified) and the cosine verify,
+      but the top-1-per-singleton window must pick a{j} (higher name_jw) and
+      b{j} is NOT a singleton (it has an edge), so only (a,r) is rescued —
+      rank discrimination, not just thresholding.
+
+    The oracle emits the closed-form expected set; a missing enhanced edge
+    (recall), a leaked distance-3/decoy edge (precision), or a wrong
+    confidence all hash-mismatch. Content gates hold by construction:
+    same-doc variants' cosines sit >= ~0.9 (the d/v construction's own
+    measured floor is 0.93 for a 1-in-7 drop; these drop 1-in-11/13/17)."""
+    from entity_resolver_spark.operators.enhancement import enhance_matches
+    from entity_resolver_spark.operators.transcripts import build_entity_records
+
+    docs = _read(spark, sf_dir, "documents")
+    chain_docs = docs.where(F.pmod("doc_id", F.lit(6)) == 0)
+    rescue_docs = docs.where(F.pmod("doc_id", F.lit(6)) == 1)
+    fams = (
+        _doc_family_turns(chain_docs, "w", 13, None)
+        .unionByName(_doc_family_turns(chain_docs, "z", 17, None))
+        .unionByName(_doc_family_turns(rescue_docs, "r", None, "Marcus Webb"))
+        .unionByName(_doc_family_turns(rescue_docs, "a", 11, "Marcus Webb"))
+        .unionByName(_doc_family_turns(rescue_docs, "b", None, "Marcus Weld"))
+        .unionByName(_doc_family_turns(rescue_docs, "c", None, "Marcus Weld"))
+    )
+    records = build_entity_records(
+        derive_transcripts(spark, sf_dir).unionByName(fams)
+    ).localCheckpoint()
+
+    def _edge(src, l_pre, r_pre):
+        did = F.col("doc_id").cast("string")
+        return src.select(
+            F.concat(F.lit(l_pre), did).alias("left"),
+            F.concat(F.lit(r_pre), did).alias("right"),
+            F.lit(0.9).alias("proba"),
+            F.lit(True).alias("is_match"),
+        )
+
+    dv = docs.where(F.pmod("doc_id", F.lit(3)) == 0)
+    scored = (
+        _edge(dv, "d", "v")
+        .unionByName(_edge(chain_docs, "v", "w"))
+        .unionByName(_edge(chain_docs, "w", "z"))
+        .unionByName(_edge(rescue_docs, "b", "c"))
+    )
+    rid = F.col("doc_id").cast("string")
+    candidates = rescue_docs.select(
+        F.concat(F.lit("r"), rid).alias("left"),
+        F.concat(F.lit("a"), rid).alias("right"),
+    ).unionByName(
+        rescue_docs.select(
+            F.concat(F.lit("r"), rid).alias("left"),
+            F.concat(F.lit("b"), rid).alias("right"),
+        )
+    )
+    out = enhance_matches(records, scored, candidates, aggressiveness="moderate")
+    return out.select("left", "right", "proba").orderBy("left", "right")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing": q_agg_pricing,
@@ -802,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_recall": q_er_blocking_recall,
         "er_impute": q_er_impute,
         "er_clusters": q_er_clusters,
+        "er_enhance": q_er_enhance,
     }
 
 
@@ -1146,6 +1261,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'd' || CAST(doc_id AS VARCHAR) AS "left",
                    'v' || CAST(doc_id AS VARCHAR) AS "right"
             FROM documents WHERE doc_id % 3 = 0 ORDER BY "left"
+        """,
+        "er_enhance": """
+            SELECT * FROM (
+                SELECT 'd' || CAST(doc_id AS VARCHAR) AS "left",
+                       'w' || CAST(doc_id AS VARCHAR) AS "right",
+                       CAST(0.60 AS DOUBLE) AS proba
+                FROM documents WHERE doc_id % 6 = 0
+                UNION ALL
+                SELECT 'v' || CAST(doc_id AS VARCHAR),
+                       'z' || CAST(doc_id AS VARCHAR),
+                       CAST(0.60 AS DOUBLE)
+                FROM documents WHERE doc_id % 6 = 0
+                UNION ALL
+                SELECT 'a' || CAST(doc_id AS VARCHAR),
+                       'r' || CAST(doc_id AS VARCHAR),
+                       CAST(0.60 AS DOUBLE)
+                FROM documents WHERE doc_id % 6 = 1
+            ) ORDER BY "left", "right"
         """,
         "cluster_size_dist": r"""
             WITH RECURSIVE t AS (

@@ -179,3 +179,26 @@ def test_unknown_aggressiveness_raises(spark, chain4):
 
 def test_config_default_is_none():
     assert EngineConfig().enhancement_aggressiveness == "none"
+
+
+def test_er_enhance_driver_query_matches_closed_form(spark):
+    """The er_enhance driver query (planted chain + singleton-rescue graph
+    over the sf0.001 documents table) must return exactly its closed-form
+    expected set — the same invariant the DuckDB oracle checks at sf0.01."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_tests", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.q_er_enhance(spark, "/root/testdata/sf0.001").collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    expected = (
+        {(f"d{i}", f"w{i}") for i in ids if i % 6 == 0}
+        | {(f"v{i}", f"z{i}") for i in ids if i % 6 == 0}
+        | {(f"a{j}", f"r{j}") for j in ids if j % 6 == 1}
+    )
+    assert {(r.left, r.right) for r in out} == expected
+    assert all(r.proba == 0.60 for r in out)
