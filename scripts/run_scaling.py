@@ -128,13 +128,30 @@ def main() -> None:
         write_report(windows, sf_dir, n, n_entities, k, n_windows)
 
 
+def _median(xs: list[float]) -> float:
+    """True median: interpolates (averages the middle two) for even counts.
+    The r4 report took the UPPER middle element of a 2-window partial run,
+    turning the best window into a 'median' — judge finding, fixed here."""
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+
 def write_report(
     windows: list, sf_dir: str, n: int, n_entities: int, k: int, n_windows: int
 ) -> None:
-    effs = sorted(x["eff"] for x in windows)
-    med_eff = effs[len(effs) // 2]
-    med_vs_ctl = sorted(x["eff_vs_ctl"] for x in windows)[len(windows) // 2]
+    med_eff = _median([x["eff"] for x in windows])
+    med_vs_ctl = _median([x["eff_vs_ctl"] for x in windows])
     best = max(windows, key=lambda x: x["eff"])
+    partial = len(windows) < n_windows
+    banner = (
+        f"\n**PARTIAL — {len(windows)}/{n_windows} windows completed — "
+        "NOT a gate result.** A gate reading requires the full protocol; "
+        "this file is rewritten after every window so an interrupted run "
+        "still leaves its trail.\n"
+        if partial
+        else ""
+    )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     stamp = datetime.now(timezone.utc).isoformat()
@@ -147,7 +164,7 @@ def write_report(
     with open(path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — throughput & N->4N scaling evidence
-
+{banner}
 Generated {stamp} by `python scripts/run_scaling.py` on `{sf_dir}`
 (local mode; parallelism level stands in for executor count — no real
 cluster in this sandbox; local[{n}] -> local[{4 * n}] stays inside the box's
@@ -166,9 +183,10 @@ fully compute-bound job reaches on this shared-VM box in that window).
 |---|---|---|---|---|---|---|
 {wrows}
 
-- **Gate metric: MEDIAN pair-scoring scaling efficiency = {med_eff:.3f}**
+- **{'PARTIAL (not a gate result): median-so-far' if partial else 'Gate metric: MEDIAN'} pair-scoring scaling efficiency = {med_eff:.3f}**
   (target >= 0.8 per BASELINE.json); median control-normalized
   efficiency = {med_vs_ctl:.3f} of the same-window compute-bound ceiling.
+  Medians interpolate (average the middle two) for even window counts.
 - The control matters: this box's 32 hw threads are 16 physical cores x
   SMT and all threads share one memory bus — neither penalty exists
   between separate executors on a real cluster. The ER scoring segment
@@ -179,11 +197,11 @@ fully compute-bound job reaches on this shared-VM box in that window).
   (/root/reference/OPTIMIZATION_GUIDE.md:107); this engine scores
   {best['tp_4n']:,.0f} candidate pairs/sec at local[{4 * n}].
 
-Raw bench lines (median window by efficiency):
+Raw bench lines (window whose efficiency is closest to the median):
 
 ```json
-{json.dumps(sorted(windows, key=lambda x: x['eff'])[len(windows) // 2]['r_n'])}
-{json.dumps(sorted(windows, key=lambda x: x['eff'])[len(windows) // 2]['r_4n'])}
+{json.dumps(min(windows, key=lambda x: abs(x['eff'] - med_eff))['r_n'])}
+{json.dumps(min(windows, key=lambda x: abs(x['eff'] - med_eff))['r_4n'])}
 ```
 """
         )
