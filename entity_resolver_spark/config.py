@@ -65,11 +65,30 @@ SNM_WINDOW = 24
 SNM_ENABLED = False
 NAME_LSH_ENABLED = False
 MINHASH_TEXT_ENABLED = True
+# Derive the text-MinHash signature from the SAME materialized distinct-
+# shingle table the rare-shingle pass builds (k = RARE_SHINGLE_K), instead
+# of a second corpus scan + shingle build at SHINGLE_K. One text scan for
+# both passes; LSH recall measured identical at 24k (0.99971 both forms)
+# and the separate string-scan signature cost 73s of a ~210s blocking wall
+# at the 144k corpus. Flip off to restore the independent k=SHINGLE_K scan.
+MINHASH_UNIFIED_SCAN = True
 # Anchor-key families (blocking.py B5): subset of {"identity", "soundex",
 # "anagram"}. The anagram key already catches transposition typos AND is
 # swap-invariant where soundex breaks (see blocking.py B5 notes); soundex's
 # leave-one-out marginal recall at 72k measured 0.00001 for 755k extra pairs.
 ANCHOR_FORMS = ("identity", "anagram")
+
+# Emit the plain exact-name-hash key (x:) alongside the sorted-token key
+# (t:). The plain key is strictly subsumed by the sorted-token key pre-split
+# (equal name_key => equal sorted tokens), so it only adds coverage inside a
+# hot block whose EQUAL-NAME run exceeds the split cap — and the rank-ordered
+# split keeps equal names adjacent, making that case empty in practice:
+# measured at 24k entities (prune_eval r5), dropping it changes recall not at
+# all (0.99971 either way, the same 35 missed pairs) while removing one block
+# row per named record and the duplicate fan-out of every exact-name group
+# from the pair join. Default off; flip on for corpora with giant equal-name
+# runs AND a small split cap.
+EXACT_PLAIN_ENABLED = False
 
 # Bottom-k (KMV) shingle sketch carried per record into the pair-feature
 # battery: the k smallest xxhash64 values over the record's distinct word
@@ -89,6 +108,18 @@ SHINGLE_SKETCH_K = 64
 # 0.9746 -> 0.9990 for +20% candidate volume (catches name-mangled records
 # no name pass can key). 0/1 disables.
 RARE_SHINGLE_MAX_DF = 6
+
+# Per-record cap on rare-shingle block keys: keep only the K smallest shingle
+# HASHES per record (bottom-k under the shared global hash order — the KMV /
+# prefix-filtering construction). MEASURED TOO LOSSY AS A DEFAULT on this
+# corpus (24k entities: blocking recall 0.99971 uncapped -> 0.99082 at K=8,
+# 0.99626 at K=16): same-entity conversations are NOT near-duplicate texts —
+# they share only a few rare shingles, so a uniform per-record subset drops
+# exactly the shared ones. The knob stays for corpora of genuine near-dup
+# documents (copy-edit dedup), where bottom-k aligns across the pair.
+# 0 (default) = uncapped; volume control comes from member-set block
+# dedup in rare_shingle_blocks instead, which is exactly pair-preserving.
+RARE_SHINGLE_PER_RECORD = 0
 
 # Shingle length for the rare-shingle index — deliberately LONGER than
 # SHINGLE_K (which feeds the MinHash signatures and the KMV text_jaccard
@@ -224,9 +255,12 @@ class EngineConfig:
     snm_enabled: bool = SNM_ENABLED
     name_lsh_enabled: bool = NAME_LSH_ENABLED
     minhash_text_enabled: bool = MINHASH_TEXT_ENABLED
+    minhash_unified_scan: bool = MINHASH_UNIFIED_SCAN
     anchor_forms: tuple = ANCHOR_FORMS
+    exact_plain_enabled: bool = EXACT_PLAIN_ENABLED
     rare_shingle_max_df: int = RARE_SHINGLE_MAX_DF
     rare_shingle_k: int = RARE_SHINGLE_K
+    rare_shingle_per_record: int = RARE_SHINGLE_PER_RECORD
     max_block_size: int = MAX_BLOCK_SIZE
     cc_reliable_every: int = CC_RELIABLE_EVERY
     enhancement_aggressiveness: str = ENHANCEMENT_AGGRESSIVENESS

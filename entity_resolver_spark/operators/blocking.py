@@ -82,16 +82,27 @@ def _named(key: F.Column) -> F.Column:
     return F.when(F.col("name_key") != "", key)
 
 
-def _exact_key_exprs() -> list[F.Column]:
-    """B1: exact normalized-name-hash key + sorted-token name key."""
-    plain = F.when(
-        F.col("name_hash").isNotNull(),
-        F.concat(F.lit("x:"), F.col("name_hash").cast("string")),
-    )
+def _exact_key_exprs(include_plain: bool = True) -> list[F.Column]:
+    """B1: exact normalized-name-hash key + sorted-token name key.
+
+    The plain key is STRICTLY SUBSUMED by the sorted-token key before the
+    skew split (name_hash = content_hash(name_key); equal name_key implies
+    equal sorted tokens), so ``include_plain=False`` drops it — the only
+    coverage it can add is inside a HOT sorted-token block whose equal-name
+    run exceeds the split cap, and the rank-ordered split sorts by skey so
+    equal names stay adjacent (cfg.exact_plain_enabled; volume/recall
+    measured by scripts/prune_eval.py)."""
     sorted_tok = _named(
         F.concat(F.lit("t:"), F.xxhash64(_sorted_name_key()).cast("string"))
     )
-    return [F.array(plain), F.array(sorted_tok)]
+    out = [F.array(sorted_tok)]
+    if include_plain:
+        plain = F.when(
+            F.col("name_hash").isNotNull(),
+            F.concat(F.lit("x:"), F.col("name_hash").cast("string")),
+        )
+        out.insert(0, F.array(plain))
+    return out
 
 
 def exact_blocks(records: DataFrame) -> DataFrame:
@@ -284,7 +295,56 @@ def name_lsh_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
     return sig.select("conv_id", F.explode(tagged).alias("block_key"), "skey")
 
 
-def rare_shingle_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
+def _shingle_hash_rows(records: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """(conv_id, _gh, skey): one row per DISTINCT word ``rare_shingle_k``-
+    shingle per record, shingle hashed to 64 bits. Materialized once
+    (localCheckpoint) — consumed by the rare-shingle df aggregate + probe
+    AND, when ``minhash_unified_scan`` is on, by the text-MinHash signature,
+    so the corpus text is scanned and shingled exactly once per blocking
+    run."""
+    return records.select(
+        "conv_id",
+        F.explode(
+            F.array_distinct(shingles_expr(F.col("tokens"), cfg.rare_shingle_k))
+        ).alias("_g"),
+        _sorted_name_key().alias("skey"),
+    ).select("conv_id", F.xxhash64("_g").alias("_gh"), "skey").localCheckpoint()
+
+
+def minhash_blocks_from_shingle_rows(
+    sh: DataFrame, cfg: EngineConfig
+) -> DataFrame:
+    """B3 (unified-scan form): banded-MinHash blocks computed from the
+    materialized ``_shingle_hash_rows`` table instead of a second scan +
+    shingle build over the corpus text. Signature hashes re-hash the 64-bit
+    shingle hash per slot (xxhash64 over longs) — statistically the same
+    LSH family as hashing the shingle string per slot (recall measured
+    identical at 24k: 0.99971 either way), while the 144k-corpus text is
+    shingled ONCE for both text passes (the string-scan form cost 73s of a
+    ~210s blocking wall at local[16]).
+
+    MinHash over DISTINCT shingles equals MinHash over the multiset — min()
+    ignores multiplicity — so sharing the rare pass's distinct rows is
+    exact. The Jaccard being estimated is over ``rare_shingle_k``-shingles
+    (4) rather than ``shingle_k`` (3); the banded-collision recall of that
+    estimate is part of the measured blocking-recall gates."""
+    aggs = [
+        F.min(F.xxhash64(F.col("_gh"), F.lit(i))).alias(f"_h{i}")
+        for i in range(cfg.minhash_hashes)
+    ] + [F.first("skey").alias("skey")]
+    sig = sh.groupBy("conv_id").agg(*aggs).select(
+        "conv_id",
+        F.array(*[F.col(f"_h{i}") for i in range(cfg.minhash_hashes)]).alias("sig"),
+        "skey",
+    )
+    keys = lsh_band_keys(F.col("sig"), cfg.minhash_hashes, cfg.minhash_bands)
+    tagged = F.transform(keys, lambda k: F.concat(F.lit("m"), k))
+    return sig.select("conv_id", F.explode(tagged).alias("block_key"), "skey")
+
+
+def rare_shingle_blocks(
+    records: DataFrame, cfg: EngineConfig, sh: DataFrame | None = None
+) -> DataFrame:
     """B7: inverted index on RARE text shingles — block key = any distinct
     word ``rare_shingle_k``-shingle whose document frequency is
     <= ``rare_shingle_max_df``. The shingle here is LONGER than the
@@ -314,21 +374,82 @@ def rare_shingle_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
         return records.sparkSession.createDataFrame(
             [], "conv_id string, block_key string, skey string"
         )
-    sh = records.select(
-        "conv_id",
-        F.explode(
-            F.array_distinct(shingles_expr(F.col("tokens"), cfg.rare_shingle_k))
-        ).alias("_g"),
-        _sorted_name_key().alias("skey"),
-    ).select("conv_id", F.xxhash64("_g").alias("_gh"), "skey")
-    sh = sh.localCheckpoint()  # scanned twice: df agg + probe
-    rare = (
+    if sh is None:
+        sh = _shingle_hash_rows(records, cfg)  # scanned twice: df agg + probe
+    # INVERTED probe (r5): most distinct shingles are rare at any sane df cap
+    # — at 144k entities the old rare-side equi-join shuffled ~30M of ~45M
+    # occurrence rows against an ~10M-row build side. The HOT set (df > cap)
+    # is the small complement, so probe with a broadcast LEFT ANTI join
+    # against it: identical output (df <= cap  <=>  not hot), zero shuffle of
+    # the occurrence table. Fallback to the shuffled anti-join if the hot set
+    # is ever too big to broadcast (degenerate corpora).
+    hot = (
         sh.groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") <= cfg.rare_shingle_max_df)
+        .where(F.col("_df") > cfg.rare_shingle_max_df)
         .select("_gh")
+        .localCheckpoint()
     )
-    return sh.join(rare, "_gh").select(
+    hot_side = F.broadcast(hot) if hot.count() <= HOT_BROADCAST_MAX else hot
+    rare_rows = sh.join(hot_side, "_gh", "left_anti")
+    if cfg.rare_shingle_per_record <= 0:
+        # MEMBER-SET dedup (r5, exactly pair-preserving): consecutive
+        # shingles of one shared phrase all key the SAME record set, and
+        # 62% of rare blocks at the 144k corpus had only ONE member (zero
+        # pairs, pure join traffic). Group members per shingle (bounded by
+        # the df cap — never a hot-key collect), drop size-1 sets, and key
+        # each block by the hash of its member list so duplicate sets
+        # collapse to one block. Measured at 144k: 30.3M block rows ->
+        # ~14.7M, raw pair fan-out 20.8M -> 17.9M, with the downstream
+        # pair set IDENTICAL by construction.
+        grouped = (
+            rare_rows.groupBy("_gh")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("conv_id", "skey"))
+                ).alias("_mem")
+            )
+            .where(F.size("_mem") >= 2)
+            .select(
+                F.transform(F.col("_mem"), lambda m: m["conv_id"]).alias("_ids"),
+                "_mem",
+            )
+            # exact-array dedup (a hash-only dedup could drop a real block on
+            # a 64-bit collision); the hash is only the block KEY, where a
+            # collision merely merges two blocks — extra pairs, never lost
+            .dropDuplicates(["_ids"])
+            .select(F.xxhash64("_ids").alias("_gh"), "_mem")
+        )
+        return grouped.select(
+            F.explode("_mem").alias("_m"),
+            F.concat(F.lit("r"), F.col("_gh").cast("string")).alias("block_key"),
+        ).select(
+            F.col("_m.conv_id").alias("conv_id"), "block_key",
+            F.col("_m.skey").alias("skey"),
+        )
+    if cfg.rare_shingle_per_record > 0:
+        # Bottom-k cap per record (prefix-filtering / KMV form): keep the K
+        # smallest rare-shingle hashes. The hash order is GLOBAL, so two
+        # near-dup records keep the same shared shingles wherever both sides
+        # still contain them — a true pair collides unless token noise
+        # removed every one of the K jointly-smallest shared shingles.
+        # Bounds per-record key fan-out (and with it the pair-join and
+        # dedup shuffles, the 144k bottleneck) at K instead of the text
+        # length. collect_list here is bounded by the record's distinct
+        # rare-shingle count and partial-aggregates map-side.
+        rare_rows = (
+            rare_rows.groupBy("conv_id")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list("_gh")),
+                    1,
+                    cfg.rare_shingle_per_record,
+                ).alias("_ghs"),
+                F.first("skey").alias("skey"),
+            )
+            .select("conv_id", F.explode("_ghs").alias("_gh"), "skey")
+        )
+    return rare_rows.select(
         "conv_id",
         F.concat(F.lit("r"), F.col("_gh").cast("string")).alias("block_key"),
         "skey",
@@ -355,15 +476,33 @@ def all_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
     because every junk candidate is Jaro-Winkler + cosine work downstream.
     """
     out = _explode_keys(
-        records, [*_exact_key_exprs(), *_anchor_key_arrays(cfg.anchor_forms)]
+        records,
+        [
+            *_exact_key_exprs(cfg.exact_plain_enabled),
+            *_anchor_key_arrays(cfg.anchor_forms),
+        ],
     )
     if cfg.snm_enabled:
         out = out.unionByName(sorted_neighborhood_blocks(records, cfg))
+    # Unified text scan: when both text passes run, shingle the corpus ONCE
+    # (the k=rare_shingle_k distinct-shingle hash table) and derive the
+    # MinHash signature AND the rare-shingle index from it; the standalone
+    # string-scan MinHash remains for profiles with the rare pass disabled.
+    unified = (
+        cfg.minhash_unified_scan
+        and cfg.minhash_text_enabled
+        and cfg.rare_shingle_max_df > 1
+    )
+    sh = _shingle_hash_rows(records, cfg) if unified else None
     if cfg.minhash_text_enabled:
-        out = out.unionByName(minhash_lsh_blocks(records, cfg))
+        out = out.unionByName(
+            minhash_blocks_from_shingle_rows(sh, cfg)
+            if unified
+            else minhash_lsh_blocks(records, cfg)
+        )
     if cfg.name_lsh_enabled:
         out = out.unionByName(name_lsh_blocks(records, cfg))
-    return out.unionByName(rare_shingle_blocks(records, cfg))
+    return out.unionByName(rare_shingle_blocks(records, cfg, sh=sh))
 
 
 # Blocks larger than max_block_size * this multiplier skip the rank-ordered
@@ -372,6 +511,14 @@ def all_blocks(records: DataFrame, cfg: EngineConfig) -> DataFrame:
 # ordering adds nothing there, and at web scale a mega-block must never
 # serialize through one sort task.
 ORDERED_SPLIT_MULT = 32
+
+# Ceiling on the row count of a "small complement" table (hot shingles, hot
+# block sizes) that the inverted probes below broadcast. 4M longs ~ 32 MB
+# serialized — comfortably within executor broadcast budgets; beyond it the
+# code falls back to the shuffled join it replaced. Hot sets are small by
+# construction (they are the skew tail), so the fallback is a degenerate-
+# corpus safety valve, not an expected path.
+HOT_BROADCAST_MAX = 4_000_000
 
 
 def split_hot_blocks(
@@ -407,10 +554,28 @@ def split_hot_blocks(
         # un-materialized key-battery plan must not be evaluated twice
         # (callers that already checkpointed pass materialized=True)
         blocks = blocks.localCheckpoint()
-    sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("_n"))
-    b = blocks.join(sizes, "block_key")
-
-    small = b.where(F.col("_n") <= cap).select("conv_id", "block_key")
+    # INVERTED size probe (r5): almost every block is small, so joining ALL
+    # block rows against the full sizes table (40M x 22M at the 144k corpus,
+    # 64s at local[16]) shuffles everything to route almost nothing. The HOT
+    # sizes (_n > cap) are the tiny complement: broadcast them, route small
+    # rows via LEFT ANTI (map-side, no shuffle), and only hot-block member
+    # rows (few by construction) join to pick up their _n. Output identical:
+    # _n <= cap  <=>  block_key not in hot_sizes.
+    hot_sizes = (
+        blocks.groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > cap)
+        .localCheckpoint()
+    )
+    hot_side = (
+        F.broadcast(hot_sizes)
+        if hot_sizes.count() <= HOT_BROADCAST_MAX
+        else hot_sizes
+    )
+    small = blocks.join(hot_side, "block_key", "left_anti").select(
+        "conv_id", "block_key"
+    )
+    b = blocks.join(hot_side, "block_key")
 
     wo = Window.partitionBy("block_key").orderBy(*order)
     med = (

@@ -57,6 +57,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Write shuffles WIDE and let AQE coalesce down to the advisory
+        # size: with initialPartitionNum unset, a big aggregation gets
+        # exactly shuffle.partitions reduce partitions (= cores here), and
+        # at 504k records the minhash/pair-dedup shuffles spilled — measured
+        # superlinear walls (72k->144k: 2x data, 4x wall). 8x cores of
+        # initial partitions costs small queries nothing (AQE merges them
+        # back) and is exactly how a real cluster should run this engine.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(shuffle_partitions * 8),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -29,23 +29,12 @@ from entity_resolver_spark.session import get_spark  # noqa: E402
 BASE = EngineConfig()
 
 CANDIDATES: dict[str, EngineConfig] = {
-    "all_on(r3)": replace(
-        BASE, snm_enabled=True, name_lsh_enabled=True, minhash_text_enabled=True,
-        anchor_forms=("identity", "soundex", "anagram"),
-    ),
-    "-snm": replace(BASE, snm_enabled=False),
-    "-snm-namelsh": replace(BASE, snm_enabled=False, name_lsh_enabled=False),
-    "-snm-namelsh-sdx": replace(
-        BASE, snm_enabled=False, name_lsh_enabled=False,
-        anchor_forms=("identity", "anagram"),
-    ),
-    "-snm-namelsh-sdx-mh": replace(
-        BASE, snm_enabled=False, name_lsh_enabled=False,
-        minhash_text_enabled=False, anchor_forms=("identity", "anagram"),
-    ),
-    "-snm-namelsh-sdx df4": replace(
-        BASE, snm_enabled=False, name_lsh_enabled=False,
-        anchor_forms=("identity", "anagram"), rare_shingle_max_df=4,
+    "default": BASE,
+    "-xkey": replace(BASE, exact_plain_enabled=False),
+    "blockcap48": replace(BASE, max_block_size=48),
+    "blockcap32": replace(BASE, max_block_size=32),
+    "-xkey blockcap32": replace(
+        BASE, exact_plain_enabled=False, max_block_size=32
     ),
 }
 

@@ -190,3 +190,68 @@ def test_mega_block_hash_salt_route(spark):
     m = hot_block_metrics(blocks, cfg).collect()[0]
     assert m["n_hot_blocks"] == 1 and m["hot_rows"] == n
     assert m["forgone_pairs"] == n * (n - 1) // 2 - retained
+
+
+def test_rare_member_set_dedup_is_pair_preserving(spark, records):
+    """r5 volume cut: the rare-shingle pass collapses blocks with identical
+    member sets (and drops size-1 blocks). The resulting PAIR set must equal
+    the naive one-block-per-shingle form's, exactly."""
+    from entity_resolver_spark.functions.hashing import shingles_expr
+    from entity_resolver_spark.operators.blocking import rare_shingle_blocks
+
+    cfg = EngineConfig()
+    blocks = rare_shingle_blocks(records, cfg)
+    got = pairs_from_blocks(blocks)
+
+    # naive reference: one block per rare shingle hash
+    sh = records.select(
+        "conv_id",
+        F.explode(
+            F.array_distinct(shingles_expr(F.col("tokens"), cfg.rare_shingle_k))
+        ).alias("_g"),
+    ).select("conv_id", F.xxhash64("_g").alias("_gh"))
+    rare = (
+        sh.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= cfg.rare_shingle_max_df)
+        .select("_gh")
+    )
+    naive = pairs_from_blocks(
+        sh.join(rare, "_gh").select(
+            "conv_id", F.col("_gh").cast("string").alias("block_key")
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    # and no block the pass emits has fewer than 2 members
+    sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
+    assert sizes.where(F.col("n") < 2).count() == 0
+
+
+def test_unified_scan_minhash_schema_and_bands(spark, records):
+    """minhash_blocks_from_shingle_rows: one block row per (record, band),
+    band keys prefixed 'm', carrying the sorted name key."""
+    from entity_resolver_spark.operators.blocking import (
+        _shingle_hash_rows,
+        minhash_blocks_from_shingle_rows,
+    )
+
+    cfg = EngineConfig()
+    sh = _shingle_hash_rows(records, cfg)
+    out = minhash_blocks_from_shingle_rows(sh, cfg)
+    assert out.columns == ["conv_id", "block_key", "skey"]
+    n_rec = records.select("conv_id").distinct().count()
+    assert out.count() == n_rec * cfg.minhash_bands
+    assert out.where(~F.col("block_key").startswith("m")).count() == 0
+
+
+def test_exact_plain_key_subsumed_by_sorted_token_key(spark, records):
+    """The x: key is strictly subsumed by the t: key pre-split: enabling it
+    must not add any pair on a corpus with no hot equal-name runs."""
+    from dataclasses import replace
+
+    base = EngineConfig()
+    on = replace(base, exact_plain_enabled=True)
+    p_off = candidate_pairs(records, base)
+    p_on = candidate_pairs(records, on)
+    assert p_off.exceptAll(p_on).count() == 0
+    assert p_on.exceptAll(p_off).count() == 0
