@@ -163,6 +163,18 @@ def _jw_kernel(av: np.ndarray, bv: np.ndarray) -> np.ndarray:
     n = len(av)
     A, la = _encode_batch(av, 0x10FFFE)
     B, lb = _encode_batch(bv, 0x10FFFF)
+    # Name keys are overwhelmingly ASCII after NFKD normalization, and the
+    # loop's memory traffic (full-B equality scans + cand bitmaps) is the
+    # bandwidth hog on a 16-worker box. When every real codepoint is < 0xFE,
+    # downcast to uint8: the pads truncate to 0xFE/0xFF — still distinct from
+    # each other and from every real char, so equality semantics are
+    # unchanged — and the scan traffic narrows 4x (measured 1.25x throughput
+    # on real 144k-corpus batches at both 4 and 16 workers).
+    if ((A < 0xFE) | (A == 0x10FFFE)).all() and (
+        (B < 0xFE) | (B == 0x10FFFF)
+    ).all():
+        A = A.astype(np.uint8)
+        B = B.astype(np.uint8)
     L1, L2 = A.shape[1], B.shape[1]
 
     w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)[:, None]
@@ -170,15 +182,18 @@ def _jw_kernel(av: np.ndarray, bv: np.ndarray) -> np.ndarray:
     flags1 = np.zeros((n, L1), dtype=bool)
     flags2 = np.zeros((n, L2), dtype=bool)
     matches = np.zeros(n, dtype=np.int64)
-    # Pad chars (\x00 vs \x01) never equal each other or real characters, so
-    # rows past their own length can't produce matches — no activity mask
-    # needed inside the loop. validb bounds j to real b positions.
+    # Pad chars never equal each other or real characters, so rows past their
+    # own length can't produce matches — no activity mask needed inside the
+    # loop. validb bounds j to real b positions.
     validb = jpos < lb[:, None]
+    rows_all = np.arange(n)
     i_max = int(la.max())
     for i in range(i_max):
         cand = (B == A[:, i][:, None]) & (np.abs(jpos - i) <= w) & validb & ~flags2
-        hit = cand.any(axis=1)
+        # argmax-then-gather: one row gather replaces a second full cand scan
+        # (any) — cand[r, j[r]] is True iff row r has any candidate.
         j = cand.argmax(axis=1)
+        hit = cand[rows_all, j]
         rows = np.nonzero(hit)[0]
         flags2[rows, j[rows]] = True
         flags1[rows, i] = True

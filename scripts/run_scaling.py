@@ -36,11 +36,19 @@ def run_control(cpus: int) -> float:
         "    t0=time.monotonic(); plan.write.format('noop').mode('overwrite').save(); ws.append(time.monotonic()-t0)\n"
         "print('CTL', sorted(ws)[1])\n"
     ) % (REPO, cpus, cpus, cpus)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True
-    )
-    line = [l for l in out.stdout.splitlines() if l.startswith("CTL")][-1]
-    return float(line.split()[1])
+    for attempt in range(2):
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True
+        )
+        if out.returncode == 0:
+            line = [l for l in out.stdout.splitlines() if l.startswith("CTL")][-1]
+            return float(line.split()[1])
+        print(
+            f"control leg cpus={cpus} failed (attempt {attempt + 1}/2, "
+            f"rc={out.returncode}); stderr tail:\n{out.stderr[-2000:]}",
+            flush=True,
+        )
+    raise RuntimeError(f"control leg cpus={cpus} failed twice")
 
 
 def run(cpus: int, sf_dir: str, n_entities: int) -> dict:
@@ -54,15 +62,30 @@ def run(cpus: int, sf_dir: str, n_entities: int) -> dict:
         # stretches each window and adds self-noise.
         SPARK_GRAFT_SKIP_ALT_JOIN="1",
     )
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # One retry per leg: the Aug-18 window-2 crash (bench exit 1, stderr
+    # swallowed by check=True) orphaned a 2/3-window protocol. A transient
+    # leg failure must not kill a multi-hour run — and when it IS fatal,
+    # leave the stderr tail in the log instead of a bare exit status.
+    last_err = ""
+    for attempt in range(2):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        if out.returncode == 0:
+            line = [
+                l for l in out.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            return json.loads(line)
+        last_err = out.stderr[-4000:]
+        print(
+            f"bench leg cpus={cpus} failed (attempt {attempt + 1}/2, "
+            f"rc={out.returncode}); stderr tail:\n{last_err}",
+            flush=True,
+        )
+    raise RuntimeError(f"bench leg cpus={cpus} failed twice; last stderr above")
 
 
 def main() -> None:
