@@ -47,7 +47,15 @@ def steady(plan) -> float:
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     subs = sys.argv[1:] or ["scan", "jw", "lev", "full"]
-    spark = get_spark("seg-ab", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    arrow_batch = os.environ.get("SPARK_GRAFT_ARROW_BATCH")
+    extra = (
+        {"spark.sql.execution.arrow.maxRecordsPerBatch": arrow_batch}
+        if arrow_batch
+        else None
+    )
+    spark = get_spark(
+        "seg-ab", master=f"local[{cpus}]", shuffle_partitions=cpus, extra_conf=extra
+    )
     spark.range(1000).count()
     inputs = spark.read.parquet(os.path.join(REPO, ".benchtmp", "inputs144k"))
     if os.environ.get("SPARK_GRAFT_SORT_INPUTS"):
