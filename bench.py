@@ -94,8 +94,17 @@ def main() -> None:
     n_records = records.count()
     timings["er_normalize"] = round(time.monotonic() - t0, 3)
 
+    # Stage tables get an explicit 4-waves-per-core layout before
+    # checkpointing: AQE's 64MB advisory coalescing is the right COST call
+    # for a query's own shuffles, but it hands a ~20M-row in-memory stage
+    # back as 2-8 partitions — at local[8] the downstream scoring segment
+    # then runs one (partial) task wave with idle cores and a straggler-
+    # bound wall (measured: window eff 0.694 with the same kernels that
+    # scale 0.9 when given enough tasks). A real deployment sizes stage
+    # reads to the fleet exactly like this (spark.sql.files.maxPartitionBytes
+    # against TB-scale stage tables yields thousands of splits).
     t0 = time.monotonic()
-    pairs = candidate_pairs(records).localCheckpoint()
+    pairs = candidate_pairs(records).repartition(4 * cpus).localCheckpoint()
     n_pairs = pairs.count()
     timings["er_blocking"] = round(time.monotonic() - t0, 3)
 
@@ -120,7 +129,19 @@ def main() -> None:
     from entity_resolver_spark.config import BROADCAST_MAX_RECORDS
 
     t0 = time.monotonic()
-    inputs = pair_inputs(pairs, records, vectors=vectors).localCheckpoint()
+    # Broadcast-path output inherits pairs' layout, but the SMJ path is
+    # AQE-coalesced again — repartition unconditionally so the measured
+    # scoring segment always starts from a task-balanced stage table (the
+    # shuffle is timed here, in the stage that produces the table). Task
+    # count scales with pair volume, capped at 4 waves per core, floored at
+    # one per core — a floor-dominated 69k-pair corpus must not be split
+    # into 64 near-empty Arrow streams.
+    score_tasks = max(cpus, min(4 * cpus, 1 + n_pairs // 65536))
+    inputs = (
+        pair_inputs(pairs, records, vectors=vectors)
+        .repartition(score_tasks)
+        .localCheckpoint()
+    )
     inputs.count()
     timings["er_pair_inputs"] = round(time.monotonic() - t0, 3)
 
@@ -208,7 +229,11 @@ def main() -> None:
         n_tpairs = tpairs.count()
         tvec = text_vectors(trec, EngineConfig()).localCheckpoint()
         tvec.count()
-        tinputs = pair_inputs(tpairs, trec, vectors=tvec).localCheckpoint()
+        tinputs = (
+            pair_inputs(tpairs, trec, vectors=tvec)
+            .repartition(max(cpus, min(4 * cpus, 1 + n_tpairs // 65536)))
+            .localCheckpoint()
+        )
         tinputs.count()
         tplan = score_pairs(features_from_inputs(tinputs), model)
         tplan.write.format("noop").mode("overwrite").save()  # warm
