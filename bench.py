@@ -94,17 +94,8 @@ def main() -> None:
     n_records = records.count()
     timings["er_normalize"] = round(time.monotonic() - t0, 3)
 
-    # Stage tables get an explicit 4-waves-per-core layout before
-    # checkpointing: AQE's 64MB advisory coalescing is the right COST call
-    # for a query's own shuffles, but it hands a ~20M-row in-memory stage
-    # back as 2-8 partitions — at local[8] the downstream scoring segment
-    # then runs one (partial) task wave with idle cores and a straggler-
-    # bound wall (measured: window eff 0.694 with the same kernels that
-    # scale 0.9 when given enough tasks). A real deployment sizes stage
-    # reads to the fleet exactly like this (spark.sql.files.maxPartitionBytes
-    # against TB-scale stage tables yields thousands of splits).
     t0 = time.monotonic()
-    pairs = candidate_pairs(records).repartition(4 * cpus).localCheckpoint()
+    pairs = candidate_pairs(records).localCheckpoint()
     n_pairs = pairs.count()
     timings["er_blocking"] = round(time.monotonic() - t0, 3)
 
@@ -129,17 +120,24 @@ def main() -> None:
     from entity_resolver_spark.config import BROADCAST_MAX_RECORDS
 
     t0 = time.monotonic()
-    # Broadcast-path output inherits pairs' layout, but the SMJ path is
-    # AQE-coalesced again — repartition unconditionally so the measured
-    # scoring segment always starts from a task-balanced stage table (the
-    # shuffle is timed here, in the stage that produces the table). Task
-    # count scales with pair volume, capped at 4 waves per core, floored at
-    # one per core — a floor-dominated 69k-pair corpus must not be split
-    # into 64 near-empty Arrow streams.
+    # Scoring-stage layout: RANGE-partition the stage table by (left, right)
+    # before checkpointing. Measured on the 72k corpus at local[8] (19.65M
+    # pairs, identical rows and plan): AQE-coalesced layout 19.2s,
+    # round-robin 4-waves/core 26.7s, rangeBy(left,right) 13.8s at 32 parts
+    # / 14.0s at 8 — ADJACENCY is the lever, not wave count. Same-left pairs
+    # colocate in range order, so each Arrow batch repeats name-key pairs
+    # and the scorer's per-batch factorize dedup collapses them; round-robin
+    # scatter destroys exactly that and loses 1.9x. Range boundaries also
+    # balance task sizes. Task count scales with pair volume, capped at 4
+    # waves per core, floored at one per core (a floor-dominated 69k-pair
+    # corpus must not become 64 near-empty Arrow streams). The range
+    # exchange is timed here, in the stage that produces the table — a real
+    # deployment would write the stage table sorted/bucketed by pair key
+    # once and every scoring pass over it inherits the layout.
     score_tasks = max(cpus, min(4 * cpus, 1 + n_pairs // 65536))
     inputs = (
         pair_inputs(pairs, records, vectors=vectors)
-        .repartition(score_tasks)
+        .repartitionByRange(score_tasks, "left", "right")
         .localCheckpoint()
     )
     inputs.count()
@@ -231,7 +229,9 @@ def main() -> None:
         tvec.count()
         tinputs = (
             pair_inputs(tpairs, trec, vectors=tvec)
-            .repartition(max(cpus, min(4 * cpus, 1 + n_tpairs // 65536)))
+            .repartitionByRange(
+                max(cpus, min(4 * cpus, 1 + n_tpairs // 65536)), "left", "right"
+            )
             .localCheckpoint()
         )
         tinputs.count()
