@@ -127,10 +127,19 @@ class ResolutionPipeline:
         pairs = self._run_stage("pairs", build_pairs, resume)
 
         # joined pair inputs are a stage of their own: the broadcast build is
-        # paid once here; scoring below is a pure map over this table
+        # paid once here; scoring below is a pure map over this table. The
+        # stage is WRITTEN IN PAIR-KEY RANGE ORDER: the scorer's per-Arrow-
+        # batch factorize dedup collapses repeated name-key pairs, and that
+        # needs same-left adjacency in the stored layout — measured 1.39x on
+        # the scoring pass vs an unordered table, and 1.9x vs a round-robin
+        # scatter (scripts/layout_ab.py; BENCH/PROTOCOL_LOG.md). Sorting once
+        # at stage-write time means EVERY downstream scoring pass (retrains,
+        # threshold sweeps, incremental re-scores) inherits the layout — the
+        # 100-TB economics of the compact stage table depend on it.
         inputs = self._run_stage(
             "pair_inputs",
-            lambda: pair_inputs(pairs, records, cfg, vectors=vectors),
+            lambda: pair_inputs(pairs, records, cfg, vectors=vectors)
+            .sortWithinPartitions("left", "right"),
             resume,
         )
 
