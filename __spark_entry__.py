@@ -887,6 +887,40 @@ def q_er_enhance(spark, sf_dir):
     return out.select("left", "right", "proba").orderBy("left", "right")
 
 
+def q_range_join_views(spark, sf_dir):
+    """Range join (temporal.range_join, BUCKETED skew-safe path): each
+    purchase event joined to the same user's view events inside the 4
+    hours before it, aggregated per purchase. bucket_minutes=30 exercises
+    the interval-explode + (key, bucket) equi-join form — the 100-TB shape
+    where hot users never become per-key cross products; the plain-predicate
+    form is equivalence-tested against it in tests/test_temporal.py. Oracle:
+    DuckDB evaluates the same interval-containment join natively."""
+    from entity_resolver_spark.operators.temporal import range_join
+
+    e = _read(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("value").alias("vvalue")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 4 HOURS")).alias("wstart"),
+        F.col("ts").alias("wend"),
+    )
+    joined = range_join(
+        views, purchases, on="user_id", ts="vts", start="wstart",
+        end="wend", bucket_minutes=30,
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum("vvalue").alias("view_value_sum"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing": q_agg_pricing,
@@ -896,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_block_pairs": q_exact_block_pairs,
         "rollup_order_stats": q_rollup_order_stats,
         "asof_clicks": q_asof_clicks,
+        "range_join_views": q_range_join_views,
         "scaler_bounds": q_scaler_bounds,
         "turn_concat": q_turn_concat,
         "sessionize": q_sessionize,
@@ -980,6 +1015,18 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
             ORDER BY p.event_id
+        """,
+        "range_join_views": """
+            SELECT p.event_id AS purchase_id,
+                   count(*) AS n_views,
+                   sum(v.value) AS view_value_sum
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON v.user_id = p.user_id
+             AND v.ts >= p.ts - INTERVAL 4 HOUR
+             AND v.ts <= p.ts
+            GROUP BY p.event_id
+            ORDER BY purchase_id
         """,
         "scaler_bounds": """
             SELECT quantile_cont(l_extendedprice, 0.0) AS price_lo,

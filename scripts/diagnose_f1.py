@@ -126,6 +126,43 @@ def main() -> None:
                                F.col("name_key").alias("r_key")), "right")
         )
 
+    # --- blocking-miss recoverability breakdown ----------------------------
+    # For every true pair the blocker missed: do the two sides share ANY
+    # rare_shingle_k-shingle, and if so what is the minimum document
+    # frequency among the shared ones? min_df <= cap means the pair SHOULD
+    # have collided (a bug / split casualty); cap < min_df <= 2*cap means a
+    # df-cap bump would catch it; no shared shingle at all means only a
+    # name-keyed pass can ever catch it.
+    from entity_resolver_spark.operators.blocking import _shingle_hash_rows
+
+    misses = cov.where(F.col("label") & ~F.col("covered")).select("left", "right")
+    sh = _shingle_hash_rows(records, cfg)
+    df_tbl = sh.groupBy("_gh").agg(F.count(F.lit(1)).alias("_df"))
+    lsh = sh.select(F.col("conv_id").alias("left"), "_gh")
+    rsh = sh.select(F.col("conv_id").alias("right"), "_gh")
+    shared = (
+        misses.join(lsh, "left")
+        .join(rsh, ["right", "_gh"])
+        .join(df_tbl, "_gh")
+        .groupBy("left", "right")
+        .agg(F.min("_df").alias("min_shared_df"), F.count(F.lit(1)).alias("n_shared"))
+    )
+    breakdown = (
+        misses.join(shared, ["left", "right"], "left")
+        .select(
+            F.when(F.col("min_shared_df").isNull(), "no_shared_shingle")
+            .when(F.col("min_shared_df") <= cfg.rare_shingle_max_df, "shared_rare(split/bug)")
+            .when(F.col("min_shared_df") <= 2 * cfg.rare_shingle_max_df, "df_cap_2x_would_catch")
+            .otherwise("only_hot_shingles_shared")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .count()
+        .orderBy("bucket")
+    )
+    print("\n=== blocking-miss recoverability ===")
+    breakdown.show(truncate=False)
+
     print("\n=== sample FN: missed by BLOCKING (true pair, no candidate) ===")
     miss = cov.where(F.col("label") & ~F.col("covered")).limit(25)
     with_names(miss).select("left", "right", "l_name", "r_name").show(25, truncate=60)
