@@ -134,12 +134,34 @@ def main() -> None:
     # exchange is timed here, in the stage that produces the table — a real
     # deployment would write the stage table sorted/bucketed by pair key
     # once and every scoring pass over it inherits the layout.
+    #
+    # The range exchange sits on the PAIRS INPUT, not on the pair_inputs
+    # output: RangePartitioning runs a separate partition-bounds sampling
+    # job that RECOMPUTES its whole child, so ranging the output evaluated
+    # the cosine/KMV Arrow stage twice per materialization (measured at the
+    # 72k corpus, local[16]: staged 173.9s vs a single 97.2s evaluation —
+    # the delta was mostly that hidden second pass). Sampling the already-
+    # checkpointed 16-byte pair rows instead is ~free, and the broadcast
+    # join + projection that follow are map-only, so the stage output
+    # inherits the pairs layout exactly. On the shuffled-join path (record
+    # side beyond the broadcast cap) the join exchange would destroy the
+    # input layout, so the layout move happens after the join — as a HASH
+    # repartition on `left` + local sort, which gets the same same-left
+    # adjacency without a sampling job over the expensive child.
     score_tasks = max(cpus, min(4 * cpus, 1 + n_pairs // 65536))
-    inputs = (
-        pair_inputs(pairs, records, vectors=vectors)
-        .repartitionByRange(score_tasks, "left", "right")
-        .localCheckpoint()
-    )
+    if n_records <= BROADCAST_MAX_RECORDS:
+        inputs = pair_inputs(
+            pairs.repartitionByRange(score_tasks, "left", "right"),
+            records,
+            vectors=vectors,
+        ).localCheckpoint()
+    else:
+        inputs = (
+            pair_inputs(pairs, records, vectors=vectors)
+            .repartition(score_tasks, "left")
+            .sortWithinPartitions("left", "right")
+            .localCheckpoint()
+        )
     inputs.count()
     timings["er_pair_inputs"] = round(time.monotonic() - t0, 3)
 
@@ -227,13 +249,15 @@ def main() -> None:
         n_tpairs = tpairs.count()
         tvec = text_vectors(trec, EngineConfig()).localCheckpoint()
         tvec.count()
-        tinputs = (
-            pair_inputs(tpairs, trec, vectors=tvec)
-            .repartitionByRange(
+        # Layout on the pairs input, not the stage output — see the
+        # er_pair_inputs comment (range-sampling recomputes its child).
+        tinputs = pair_inputs(
+            tpairs.repartitionByRange(
                 max(cpus, min(4 * cpus, 1 + n_tpairs // 65536)), "left", "right"
-            )
-            .localCheckpoint()
-        )
+            ),
+            trec,
+            vectors=tvec,
+        ).localCheckpoint()
         tinputs.count()
         tplan = score_pairs(features_from_inputs(tinputs), model)
         tplan.write.format("noop").mode("overwrite").save()  # warm

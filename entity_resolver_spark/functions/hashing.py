@@ -255,17 +255,36 @@ def hamming64_expr(a: Column, b: Column) -> Column:
 
 def kmv_sketch_expr(tokens: Column, shingle_k: int, sketch_k: int) -> Column:
     """Bottom-k (KMV) sketch of a token array's distinct word k-shingles:
-    the ``sketch_k`` smallest xxhash64 values, ascending. Fixed-width
-    (<= 8 * sketch_k bytes), order-canonical, computable in one projection —
+    the ``sketch_k`` smallest 31-bit hash values, ascending. Fixed-width
+    (<= 4 * sketch_k bytes), order-canonical, computable in one projection —
     the per-record carrier for map-side set-similarity estimation (the
     classic KMV/bottom-k construction; same family as the MinHash signatures
     the blocking passes use, but composable into a UNION sketch, which the
-    one-permutation-per-slot signature is not). ``sort_array``, not
-    ``array_sort``: the latter carries a lambda comparator and falls off the
-    codegen path."""
+    one-permutation-per-slot signature is not).
+
+    Values are the TOP 31 bits of xxhash64 (``shiftrightunsigned`` 33 —
+    uniform, non-negative, int32-storable): the KMV estimator only needs a
+    uniform hash order, and int32 elements HALVE everything downstream of
+    this column — the broadcast side-table bytes, the per-pair Arrow
+    transfer (2 x sketch_k x 4B instead of 8B rides every candidate pair
+    into the Python workers), and the kernel's sort/scan traffic. Measured
+    at the 72k protocol corpus this stage is Arrow-volume-bound, not
+    kernel-bound. The 31-bit space doubles within-document hash-collision
+    odds vs 64-bit but stays negligible (a ~200-shingle record collides
+    with p ~ 1e-5); ``array_distinct`` AFTER hashing (cheap, per-record)
+    restores the per-side-distinct invariant the pair kernel relies on when
+    a collision does land. A real element can still equal the kernel's
+    int32-max padding sentinel with p = 2^-31 per element — the same
+    accepted policy as the previous int64-max sentinel. ``sort_array``, not
+    ``array_sort``: the latter carries a lambda comparator and falls off
+    the codegen path; ``array_distinct`` of a sorted array stays sorted."""
     sh = F.array_distinct(shingles_expr(tokens, shingle_k))
-    hashes = F.sort_array(F.transform(sh, lambda s: F.xxhash64(s)))
-    return F.slice(hashes, 1, sketch_k)
+    hashes = F.sort_array(
+        F.transform(
+            sh, lambda s: F.shiftrightunsigned(F.xxhash64(s), 33).cast("int")
+        )
+    )
+    return F.slice(F.array_distinct(hashes), 1, sketch_k)
 
 
 def kmv_jaccard_expr(a: Column, b: Column, sketch_k: int) -> Column:

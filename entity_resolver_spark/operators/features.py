@@ -149,7 +149,7 @@ def pair_inputs(
             F.col("tokens"), cfg.shingle_k, cfg.shingle_sketch_k
         ).alias("_sketch")
         if "tokens" in records.columns
-        else F.lit(None).cast("array<long>").alias("_sketch"),
+        else F.lit(None).cast("array<int>").alias("_sketch"),
     )
     if vectors is None:
         vectors = text_vectors(records, cfg)
