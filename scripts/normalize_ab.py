@@ -80,6 +80,27 @@ def main() -> None:
     build_entity_records(transcripts).write.format("noop").mode("overwrite").save()
     out["full_s"] = round(time.monotonic() - t0, 2)
     out["battery_s"] = round(out["full_s"] - out["agg_s"], 2)
+
+    # Materialization variants — what bench's localCheckpoint actually pays.
+    # ckpt_all: every column (the pre-r5 bench shape; charges the stage for
+    # text bytes no downstream stage reads). ckpt_ws: the working-set
+    # projection bench ships now (models the pipeline's column-pruned
+    # parquet stage reads — full_text/norm_text/first_turn/name_raw are
+    # write-only downstream of normalize).
+    t0 = time.monotonic()
+    d = build_entity_records(transcripts).localCheckpoint()
+    d.count()
+    out["ckpt_all_s"] = round(time.monotonic() - t0, 2)
+    d.unpersist()
+    t0 = time.monotonic()
+    d = (
+        build_entity_records(transcripts)
+        .drop("full_text", "norm_text", "first_turn", "name_raw")
+        .localCheckpoint()
+    )
+    d.count()
+    out["ckpt_ws_s"] = round(time.monotonic() - t0, 2)
+    d.unpersist()
     print(json.dumps(out), flush=True)
 
 

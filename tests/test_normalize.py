@@ -100,3 +100,38 @@ def test_input_order_independence(spark, corpus):
     a = recs1.select("conv_id", "full_text", "name_key").orderBy("conv_id").collect()
     b = recs2.select("conv_id", "full_text", "name_key").orderBy("conv_id").collect()
     assert a == b
+
+
+def test_downstream_runs_on_working_set_projection(spark, records, labeled):
+    """The text columns are write-only after the normalize stage: blocking ->
+    vectors -> pair features -> scoring -> clustering must produce IDENTICAL
+    results over records with full_text / norm_text / first_turn / name_raw
+    dropped. bench.py and the parquet pipeline's column-pruned stage reads
+    both rely on this contract — if a downstream operator grows a dependency
+    on a text column, this test fails before the bench does."""
+    from entity_resolver_spark.config import EngineConfig
+    from entity_resolver_spark.operators.blocking import candidate_pairs
+    from entity_resolver_spark.operators.clustering import cluster_records
+    from entity_resolver_spark.operators.features import (
+        features_from_inputs,
+        pair_inputs,
+        text_vectors,
+    )
+    from entity_resolver_spark.operators.scoring import Model, score_pairs
+
+    model = Model.default()
+
+    def clusters_over(recs):
+        pairs = candidate_pairs(recs)
+        vecs = text_vectors(recs, EngineConfig())
+        scored = score_pairs(
+            features_from_inputs(pair_inputs(pairs, recs, vectors=vecs)), model
+        )
+        out = cluster_records(recs, scored, model.edge_threshold)
+        return sorted(
+            (r["conv_id"], r["cluster_id"])
+            for r in out.select("conv_id", "cluster_id").collect()
+        )
+
+    pruned = records.drop("full_text", "norm_text", "first_turn", "name_raw")
+    assert clusters_over(pruned) == clusters_over(records)
