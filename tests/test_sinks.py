@@ -44,6 +44,64 @@ def test_sinks_roundtrip(spark, tmp_path):
     assert by_id["a"]["members"] == ["a", "b"] and by_id["a"]["size"] == 2
 
 
+def test_warehouse_catalog_mode_via_jdbc_v2(spark, tmp_path):
+    """Catalog-mode Warehouse commits, executed for real (not jar-gated).
+
+    The Iceberg branch of ``Warehouse`` calls only generic V2-catalog API —
+    ``writeTo().createOrReplace()/append()``, ``read.table``, ``tableExists``,
+    ``DROP TABLE`` — so Spark's built-in ``JDBCTableCatalog`` over the
+    bundled embedded Derby drives every line of that branch without the
+    Iceberg runtime jar. What this cannot attest is Iceberg's own snapshot
+    format; what it does attest is that the catalog code path (the one the
+    jar-gated test below always skipped) runs green end to end: replace,
+    lineage append-with-create-fallback, metrics append, read's _pid drop,
+    exists, and drop."""
+    from entity_resolver_spark.sources.catalog import Warehouse
+
+    confs = {
+        "spark.sql.catalog.er_jdbc": (
+            "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog"
+        ),
+        "spark.sql.catalog.er_jdbc.url": f"jdbc:derby:{tmp_path}/derby_wh;create=true",
+        "spark.sql.catalog.er_jdbc.driver": "org.apache.derby.jdbc.EmbeddedDriver",
+    }
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS er_jdbc.er")
+        wh = Warehouse(spark, str(tmp_path / "wh"), namespace="er_jdbc.er")
+        assert wh.use_iceberg, "JDBC V2 catalog must select the catalog branch"
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        stats = wh.write("t1", df)
+        assert stats["rows"] == 2 and stats["partitions"] >= 1
+        assert wh.exists("t1") and not wh.exists("t_missing")
+        got = wh.read("t1")
+        assert "_pid" not in got.columns
+        assert {r["id"]: r["s"] for r in got.collect()} == {1: "a", 2: "b"}
+
+        # replace commit: table is swapped, not appended
+        wh.write("t1", spark.createDataFrame([(3, "c")], "id int, s string"))
+        assert wh.read("t1").count() == 1
+
+        # two commits above -> two lineage batches through the
+        # append-or-create fallback in _append. Filter driver-side: Derby
+        # stores Spark strings as CLOB and rejects pushed-down CLOB = CHAR
+        # comparisons (a dialect quirk, not a Warehouse behavior).
+        lineage_stages = [r["stage"] for r in wh.read("_lineage").collect()]
+        assert lineage_stages.count("t1") >= 2
+
+        wh.append_metrics([{"stage": "t1", "rows": 2, "wall_ms": 1.5}])
+        metric_stages = [r["stage"] for r in wh.read("_metrics").collect()]
+        assert metric_stages.count("t1") == 1
+
+        wh.drop("t1")
+        assert not wh.exists("t1")
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
+
+
 def test_warehouse_iceberg_mode_jar_gated(spark, tmp_path):
     """Iceberg-mode Warehouse commits (the north-rule storage layer),
     executed when the Iceberg Spark runtime is on the classpath and SKIPPED
