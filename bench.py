@@ -51,11 +51,11 @@ def main() -> None:
     # and co-tenant bursts were measured to inflate individual query walls
     # 3-13x within a single bench run (e.g. er_cluster 5.4s idle vs 70.6s
     # under a burst, identical code/data). A fixed pure-JVM sha2 chain with
-    # per-core work held constant (1.2M rows/core x 4 chained sha2 — the
-    # scaling protocol's control kernel) runs in ~1.3s on an idle box at ANY
-    # parallelism level; a materially larger reading flags that window as
-    # contended. Timed before t_total so end_to_end_wall stays comparable
-    # with earlier rounds.
+    # per-THREAD work held constant (1.2M rows/thread x 4 chained sha2 — the
+    # scaling protocol's control kernel) reads ~1.4s idle at any level up to
+    # the 16 physical cores and ~2.6s at 32 (SMT pairs threads per core);
+    # a materially larger reading flags that window as contended. Timed
+    # before t_total so end_to_end_wall stays comparable with earlier rounds.
     _c = F.col("id").cast("string")
     for _ in range(4):
         _c = F.sha2(_c, 256)
