@@ -44,3 +44,65 @@ def test_jw_scalar_properties(a, b):
     assert 0.0 <= v <= 1.0
     assert jaro_winkler(b, a) == v  # symmetry
     assert jaro_winkler(a, a) == 1.0
+
+
+def _kmv_reference(a, b, k):
+    """Independent scalar KMV bottom-k Jaccard estimator: u = min(k, |A∪B|),
+    tau = u-th smallest distinct union value, estimate = |{v ∈ A∩B : v ≤
+    tau}| / u. Mirrors the definition in similarity.make_kmv_jaccard_pudf's
+    docstring without sharing any of its matrix mechanics."""
+    if a is None or b is None:
+        return None
+    union = sorted(set(a) | set(b))
+    u = min(k, len(union))
+    if u == 0:
+        return 0.0
+    tau = union[u - 1]
+    shared = sum(1 for v in set(a) & set(b) if v <= tau)
+    return shared / u
+
+
+# Per-side-distinct int32 values below the kernel's int32-max padding
+# sentinel — both invariants hold for real sketches (kmv_sketch_expr stores
+# distinct 31-bit hash values, so max is 2^31 - 1 only with probability
+# ~2^-31 per value).
+def _sketch(k):
+    return st.lists(
+        st.integers(min_value=-(2**31), max_value=2**31 - 2),
+        min_size=0,
+        max_size=k,
+        unique=True,
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_kmv_kernel_matches_reference(data):
+    import pandas as pd
+
+    from entity_resolver_spark.functions.similarity import make_kmv_jaccard_pudf
+
+    k = data.draw(st.integers(min_value=1, max_value=16), label="k")
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.one_of(st.none(), _sketch(k)),
+                st.one_of(st.none(), _sketch(k)),
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        label="rows",
+    )
+    kernel = make_kmv_jaccard_pudf(k).func  # unwrap: run batch fn JVM-free
+    to_cell = lambda v: None if v is None else np.asarray(sorted(v), np.int32)
+    got = kernel(
+        pd.Series([to_cell(a) for a, _ in rows], dtype=object),
+        pd.Series([to_cell(b) for _, b in rows], dtype=object),
+    )
+    for i, (a, b) in enumerate(rows):
+        exp = _kmv_reference(a, b, k)
+        if exp is None:
+            assert np.isnan(got[i]), (i, a, b, got[i])
+        else:
+            assert abs(got[i] - exp) <= 1e-12, (i, a, b, got[i], exp)
