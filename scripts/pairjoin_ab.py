@@ -125,6 +125,37 @@ def main() -> None:
         rmap = F.broadcast(ids.select(F.col("cid").alias("rcid"), F.col("conv_id").alias("right")))
         return pairs_i.join(lmap, "lcid").join(rmap, "rcid").select("left", "right")
 
+    def bkh_join(b, hint=None):
+        # Hash the string block_key to int64 BEFORE the self-join (map-only;
+        # no encode join). A 64-bit collision merely MERGES two blocks —
+        # extra candidate pairs, never lost ones — so the output pair set is
+        # a superset with collision probability ~#keys^2/2^65 (~1e-7 at 44M
+        # keys). Cuts exchange bytes and join-key compare cost.
+        enc = b.select("conv_id", F.xxhash64("block_key").alias("bk"))
+        a_ = enc.alias("a")
+        b_ = enc.alias("b")
+        rhs = b_.hint(hint) if hint else b_
+        return (
+            a_.join(rhs, "bk")
+            .where(F.col("a.conv_id") < F.col("b.conv_id"))
+            .select(
+                F.col("a.conv_id").alias("left"), F.col("b.conv_id").alias("right")
+            )
+            .dropDuplicates(["left", "right"])
+        )
+
+    def base_hint_join(b, hint):
+        a_ = b.alias("a")
+        b_ = b.alias("b").hint(hint)
+        return (
+            a_.join(b_, "block_key")
+            .where(F.col("a.conv_id") < F.col("b.conv_id"))
+            .select(
+                F.col("a.conv_id").alias("left"), F.col("b.conv_id").alias("right")
+            )
+            .dropDuplicates(["left", "right"])
+        )
+
     def setdedup(b):
         # One survivor per identical member set: hash the sorted member list
         # per block, keep min(block_key) per hash. Exactly pair-preserving —
@@ -150,6 +181,12 @@ def main() -> None:
         elif v == "both":
             kept = setdedup(blocks).localCheckpoint()
             plan = int_join(kept)
+        elif v == "bkh":
+            plan = bkh_join(blocks)
+        elif v == "bkh_shj":
+            plan = bkh_join(blocks, hint="shuffle_hash")
+        elif v == "shj":
+            plan = base_hint_join(blocks, "shuffle_hash")
         else:
             continue
         t0 = time.monotonic()
