@@ -189,6 +189,24 @@ YEAR_TOLERANCE = 2
 # this is not.
 BROADCAST_MAX_RECORDS = 1_000_000
 
+# Above the unconditional-broadcast floor the decision is BYTE-budgeted:
+# a row count is a memory bound in the wrong unit. Measured at the first
+# corpus to cross the old 1M-row cap (288k entities -> 1,007,901 records,
+# 95.56M pairs, local[16], scripts/pair_inputs_ab.py full_bcast/full_shuf):
+# the side table is ~27.8 avg map entries/row ≈ ~1.06 KB/row estimated
+# (~521 MB parquet), and the forced-broadcast plan ran 351s vs 535s for the
+# shuffled sort-merge form — the auto-switch to shuffle at 1.008M rows cost
+# 1.5x for a relation that fits ANY executor. The estimate below prices a
+# side row as fixed overhead + 16 B per sparse-vector entry + the KMV
+# sketch, and broadcasts while n_rows x est_row <= BROADCAST_MAX_BYTES
+# (with a hard row ceiling bounding the driver-side relation build
+# regardless of estimated bytes). At 100-TB scale (~50 B records) the
+# estimate lands ~50 TB and the shuffled equi-join — which scales with the
+# cluster, not with executor memory — takes over as before.
+BROADCAST_MAX_BYTES = 4 * 1024**3
+BROADCAST_HARD_MAX_RECORDS = 8_000_000
+BROADCAST_ROW_FIXED_BYTES = 360
+
 # Durability: every K large/small-star rounds, connected_components cuts
 # lineage with a RELIABLE checkpoint() (blocks on the checkpoint filesystem,
 # survive executor loss) instead of localCheckpoint() (executor-local blocks
@@ -265,6 +283,9 @@ class EngineConfig:
     cc_reliable_every: int = CC_RELIABLE_EVERY
     enhancement_aggressiveness: str = ENHANCEMENT_AGGRESSIVENESS
     broadcast_max_records: int = BROADCAST_MAX_RECORDS
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES
+    broadcast_hard_max_records: int = BROADCAST_HARD_MAX_RECORDS
+    broadcast_row_fixed_bytes: int = BROADCAST_ROW_FIXED_BYTES
     decision_threshold: float = DECISION_THRESHOLD
     min_edge_confidence: float = MIN_EDGE_CONFIDENCE
     year_tolerance: int = YEAR_TOLERANCE

@@ -104,6 +104,38 @@ def pair_features(
     return features_from_inputs(df, cfg)
 
 
+def _auto_broadcast(records: DataFrame, vectors: DataFrame, cfg: EngineConfig) -> bool:
+    """Broadcast-vs-shuffle auto-select for the pair_inputs side table.
+
+    Below ``broadcast_max_records`` rows: broadcast unconditionally (the
+    measured-good region; no extra scan). Above it, the decision is BYTE-
+    budgeted — a row count is a memory bound in the wrong unit. The first
+    corpus to cross the old 1M-row cap (1,007,901 records / 95.56M pairs)
+    flipped to the shuffled sort-merge form and paid 1.5x (535s vs 351s
+    forced-broadcast, local[16]) to avoid broadcasting a ~1 GB relation.
+    The estimate prices a side row as fixed overhead + 16 B per sparse-
+    vector entry + the KMV sketch; one avg-sparsity aggregate over the
+    vectors table (short rows, map-side combined) is paid only above the
+    row floor, where it is noise against the join it sizes.
+    ``broadcast_hard_max_records`` bounds the driver-side relation build
+    regardless of estimated bytes.
+    """
+    n = records.count()
+    if n <= cfg.broadcast_max_records:
+        return True
+    if n > cfg.broadcast_hard_max_records:
+        return False
+    avg_nnz = (
+        vectors.agg(F.avg(F.size(F.map_keys("vector")))).first()[0] or 0.0
+    )
+    est_row = (
+        cfg.broadcast_row_fixed_bytes
+        + 16.0 * avg_nnz
+        + 4.0 * cfg.shingle_sketch_k
+    )
+    return n * est_row <= cfg.broadcast_max_bytes
+
+
 def pair_inputs(
     pairs: DataFrame,
     records: DataFrame,
@@ -124,19 +156,24 @@ def pair_inputs(
     joined+reduced inputs as a stage table — the join build and the
     vector-consuming UDF are paid once per corpus, not once per scoring pass.
 
-    Join strategy (``broadcast_dims=None`` auto-selects, the default):
+    Join strategy (``broadcast_dims=None`` auto-selects, the default —
+    see ``_auto_broadcast``):
     * broadcast — while the per-record side fits executor memory
-      (<= cfg.broadcast_max_records, ~1 KB/record), broadcasting it makes
-      this stage MAP-ONLY over the pairs partitions: zero shuffle of the wide
-      pair rows. Catalyst won't pick this itself — it over-estimates the
+      (unconditionally <= cfg.broadcast_max_records rows; above that, while
+      the BYTE estimate n x (fixed + 16B/vector-entry + sketch) stays under
+      cfg.broadcast_max_bytes), broadcasting it makes this stage MAP-ONLY
+      over the pairs partitions: zero shuffle of the wide pair rows.
+      Catalyst won't pick this itself — it over-estimates the
       map<int,double> column and plans sort-merge, which shuffles
-      |pairs| x ~1KB rows twice (measured: that shuffle dominated scoring).
-    * shuffle (sort-merge/shuffled-hash via AQE) — beyond the cap the side
-      table can't live in one executor's memory; a shuffled equi-join on
-      conv_id scales with the cluster. This is the 100-TB path; the
-      broadcast form is the small/medium fast path. The auto-switch costs
-      one count() over records per stage — at scale that's a parquet
-      metadata scan, amortized by the join it sizes.
+      |pairs| x ~1KB rows twice (measured: that shuffle dominated scoring;
+      at 1.008M records / 95.56M pairs the shuffled form cost 1.5x).
+    * shuffle (sort-merge/shuffled-hash via AQE) — beyond the byte budget
+      (or the hard row ceiling bounding the driver-side relation build) the
+      side table can't live in one executor's memory; a shuffled equi-join
+      on conv_id scales with the cluster. This is the 100-TB path. The
+      auto-switch costs one count() over records (plus, only above the row
+      floor, one avg-sparsity aggregate over vectors) per stage — amortized
+      by the join it sizes.
     """
     cfg = cfg or EngineConfig()
     # The KMV shingle sketch rides in the side projection (fixed width,
@@ -154,7 +191,7 @@ def pair_inputs(
     if vectors is None:
         vectors = text_vectors(records, cfg)
     if broadcast_dims is None:
-        broadcast_dims = records.count() <= cfg.broadcast_max_records
+        broadcast_dims = _auto_broadcast(records, vectors, cfg)
 
     # ONE side table joined twice through aliases: both joins share the same
     # child plan, so Spark's exchange reuse builds the broadcast hash table

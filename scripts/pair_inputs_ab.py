@@ -34,13 +34,21 @@ from pyspark.sql import functions as F
 
 
 def steady(plan) -> float:
+    # SPARK_GRAFT_PIA_REPS=0 -> one COLD pass, no warm-up: for multi-minute
+    # plans (the 288k crossover A/B) codegen warm-up is fully amortized and
+    # 4 passes would cost an hour for no extra signal.
+    reps = int(os.environ.get("SPARK_GRAFT_PIA_REPS", "3"))
+    if reps <= 0:
+        t0 = time.monotonic()
+        plan.write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
     plan.write.format("noop").mode("overwrite").save()
     ws = []
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.monotonic()
         plan.write.format("noop").mode("overwrite").save()
         ws.append(time.monotonic() - t0)
-    return sorted(ws)[1]
+    return sorted(ws)[len(ws) // 2]
 
 
 def main() -> None:
@@ -147,9 +155,33 @@ def main() -> None:
             )
         ).alias("text_jaccard"),
     )
+    # Crossover A/B: the same full pair_inputs plan with the join strategy
+    # FORCED each way (broadcast_dims=True/False), regardless of the
+    # auto-select cap — measures the actual cost cliff at this corpus size.
+    plans["full_bcast"] = pair_inputs(
+        pairs, records, cfg, vectors=vectors, broadcast_dims=True
+    )
+    plans["full_shuf"] = pair_inputs(
+        pairs, records, cfg, vectors=vectors, broadcast_dims=False
+    )
+
     out = {"cpus": cpus, "n_entities": n_entities,
            "n_records": n_records, "n_pairs": n_pairs}
     for name in subs:
+        if name == "sidesize":
+            # Serialized footprint of the per-record side table (attrs ⋈
+            # vectors): what a broadcast of it actually ships. Parquet bytes
+            # under-count the in-memory hash relation ~3-5x; both are
+            # reported for the byte-budget crossover.
+            sp = os.path.join(stage_dir, "_side_probe")
+            side.write.mode("overwrite").parquet(sp)
+            pq = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(sp) for f in fs
+            )
+            out["side_parquet_mb"] = round(pq / 1e6, 1)
+            out["side_rows"] = n_records
+            continue
         if name == "staged_out":
             # The pre-r5 bench shape: range exchange on the OUTPUT — the
             # bounds-sampling job recomputes the whole UDF child once more.

@@ -220,3 +220,55 @@ def test_kmv_pudf_matches_native_expr(spark):
         ).alias("d")
     )
     assert d.agg(F.max(F.abs("d"))).collect()[0][0] == pytest.approx(0.0)
+
+
+def test_auto_broadcast_is_byte_budgeted(spark, records):
+    """The broadcast-vs-shuffle auto-select (measured crossover, config.py
+    BROADCAST_* block): unconditional broadcast below the row floor; above
+    it, broadcast while the byte ESTIMATE fits the budget, shuffle beyond
+    it; hard row ceiling wins regardless of bytes."""
+    import dataclasses
+
+    from entity_resolver_spark.operators.features import (
+        _auto_broadcast,
+        text_vectors,
+    )
+
+    cfg = EngineConfig()
+    vectors = text_vectors(records, cfg)
+    n = records.count()
+
+    # below the floor: no byte estimate consulted
+    assert _auto_broadcast(records, vectors, cfg) is True
+
+    # above the floor with a generous byte budget: still broadcast
+    tight = dataclasses.replace(cfg, broadcast_max_records=max(1, n - 1))
+    assert _auto_broadcast(records, vectors, tight) is True
+
+    # above the floor with a 1-byte budget: shuffle
+    tiny = dataclasses.replace(
+        cfg, broadcast_max_records=max(1, n - 1), broadcast_max_bytes=1
+    )
+    assert _auto_broadcast(records, vectors, tiny) is False
+
+    # hard ceiling beats any budget
+    capped = dataclasses.replace(
+        cfg,
+        broadcast_max_records=1,
+        broadcast_hard_max_records=max(1, n - 1),
+    )
+    assert _auto_broadcast(records, vectors, capped) is False
+
+    # and the broadcast hint reaches the physical plan. (No negative
+    # assertion on the forced-shuffle form: at this corpus size AQE
+    # correctly converts the tiny sort-merge side to a runtime broadcast
+    # on its own — the un-hinted form is exercised for output equivalence
+    # by the join-path tests, and its physical shape only diverges at
+    # side-table sizes no unit test should materialize.)
+    from entity_resolver_spark.operators.features import pair_inputs
+
+    pairs = candidate_pairs(records)
+    bcast_plan = pair_inputs(
+        pairs, records, cfg, broadcast_dims=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bcast_plan
