@@ -203,7 +203,18 @@ BROADCAST_MAX_RECORDS = 1_000_000
 # regardless of estimated bytes). At 100-TB scale (~50 B records) the
 # estimate lands ~50 TB and the shuffled equi-join — which scales with the
 # cluster, not with executor memory — takes over as before.
-BROADCAST_MAX_BYTES = 4 * 1024**3
+#
+# Budget headroom (r6, from the r5 advisor): est_row prices the SERIALIZED
+# row (~2x the parquet bytes measured at 1.008M records), but the in-memory
+# BroadcastHashJoin relation — unsafe rows + hash index — runs 3-5x parquet,
+# i.e. ~1.5-2.5x est_row. Spark hard-caps a broadcast relation at 8 GB /
+# 512M rows, and the driver must hold one copy while building. A 2 GiB
+# estimated budget therefore leaves ~2x headroom below the 8 GB cap at the
+# worst measured expansion (2 GiB est -> ~5 GiB in memory) and stays well
+# inside the default 24 GiB driver of this engine's sessions. The measured
+# 1.008M-record corpus (est ~1.06 GiB) keeps broadcasting under this budget;
+# the 1.5x regression it fixed stays fixed.
+BROADCAST_MAX_BYTES = 2 * 1024**3
 BROADCAST_HARD_MAX_RECORDS = 8_000_000
 BROADCAST_ROW_FIXED_BYTES = 360
 

@@ -125,9 +125,31 @@ def _auto_broadcast(records: DataFrame, vectors: DataFrame, cfg: EngineConfig) -
         return True
     if n > cfg.broadcast_hard_max_records:
         return False
-    avg_nnz = (
-        vectors.agg(F.avg(F.size(F.map_keys("vector")))).first()[0] or 0.0
+    # Sparsity estimate WITHOUT executing the vectors plan: on the default
+    # pair_features path `vectors` is the un-materialized hashed-TF build, so
+    # an aggregate over it would run the full TF/IDF job once for this
+    # estimate and again for the join — a hidden extra pass exactly at the
+    # large-corpus sizes where text_vectors is expensive (r5 advisor).
+    # nnz per vector = min(distinct hash buckets, max_entries=64): bounded
+    # above by 64 and by the record's distinct-token count, so the cheap
+    # records-side proxy min(distinct tokens, 64) is a (slight) OVER-estimate
+    # — collisions only shrink nnz — which errs toward NOT broadcasting, the
+    # safe direction for a memory budget.
+    tok_col = (
+        "context_tokens" if "context_tokens" in records.columns
+        else ("tokens" if "tokens" in records.columns else None)
     )
+    if tok_col is not None:
+        avg_nnz = (
+            records.agg(
+                F.avg(F.least(F.size(F.array_distinct(tok_col)), F.lit(64)))
+            ).first()[0]
+            or 0.0
+        )
+    else:  # records without token arrays: fall back to the direct aggregate
+        avg_nnz = (
+            vectors.agg(F.avg(F.size(F.map_keys("vector")))).first()[0] or 0.0
+        )
     est_row = (
         cfg.broadcast_row_fixed_bytes
         + 16.0 * avg_nnz

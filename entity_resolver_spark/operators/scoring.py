@@ -126,17 +126,27 @@ def fit_logistic(
 
 def sweep_threshold(p: np.ndarray, y: np.ndarray) -> tuple[float, float]:
     """F1-maximizing threshold over a fixed grid (reference
-    ``optimize_threshold``, src/training.py:699-744)."""
-    best_t, best_f1 = C.DECISION_THRESHOLD, -1.0
+    ``optimize_threshold``, src/training.py:699-744), CENTERED in the
+    maximizing interval: the reference takes the first (lowest) grid point
+    achieving max F1, which on a separable validation set returns the grid
+    step just above the highest validation negative — zero margin, so a
+    train-split junk pair scoring one step higher flips to a false match.
+    Among the grid points tied at max F1 (the tie set is the separating
+    margin when F1 hits 1.0) take the middle one; a single-point maximum
+    behaves exactly as before."""
+    f1s: list[tuple[float, float]] = []
     for t in np.arange(0.05, 0.96, 0.01):
         pred = p >= t
         tp = int(np.sum(pred & (y > 0.5)))
         fp = int(np.sum(pred & (y <= 0.5)))
         fn = int(np.sum(~pred & (y > 0.5)))
         f1 = 2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0
-        if f1 > best_f1:
-            best_t, best_f1 = float(t), f1
-    return best_t, best_f1
+        f1s.append((float(t), f1))
+    best_f1 = max(f1 for _, f1 in f1s)
+    if best_f1 <= 0.0:
+        return C.DECISION_THRESHOLD, best_f1
+    ties = [t for t, f1 in f1s if f1 >= best_f1 - 1e-12]
+    return ties[len(ties) // 2], best_f1
 
 
 def train(
@@ -156,9 +166,16 @@ def train(
     )
     rows = (
         features.join(truths, ["left", "right"])
-        .select(*cols, "label")
+        .select("left", "right", *cols, "label")
         .toPandas()
     )
+    # Sort by pair key BEFORE the seeded split: toPandas() row order follows
+    # join/AQE partitioning, so a positional split over the raw order makes
+    # split membership (and therefore the fitted weights) depend on
+    # spark.sql.shuffle.partitions. Content-keyed order makes the same corpus
+    # always produce the same model (reference src/training.py:1203-1218
+    # splits a stable CSV-ordered matrix).
+    rows = rows.sort_values(["left", "right"], ignore_index=True)
     X = rows[cols].to_numpy(dtype=np.float64)
     y = rows["label"].to_numpy(dtype=np.float64)
     # STRATIFIED 70/30 split (reference src/training.py:1203-1218): shuffle
