@@ -9,8 +9,21 @@ directly on the edges DataFrame — O(log n) rounds, each round two
 shuffle-aggregations, lineage truncated by ``localCheckpoint`` per round so
 the plan doesn't grow with iterations.
 
-Node ids are hashed to longs for cheap min() comparisons; the string ids are
-restored by a final join.
+Node ids are hashed to longs for cheap min() comparisons — directly in the
+edge projection (r6: the previous id->nid map join cost two shuffles of the
+edge set before the loop even started; ``xxhash64`` is deterministic, so the
+surrogate is a projection, not a join). The string ids are restored by a
+final join against the caller's id universe.
+
+Convergence (r6): a round's output is checked directly for the star-forest
+fixpoint property — every node has exactly one parent AND no parent is
+itself a child — instead of comparing content signatures across rounds.
+The signature form needed one full EXTRA round (stars + checkpoint) after
+convergence just to observe stability; the forest test reads the same
+checkpointed blocks with two small aggregates and stops the loop at the
+round that reached the forest. Star forest <=> fixpoint of the alternation
+(forest => both stars are identities; the previous code already relied on
+the converse — "after convergence, small-star output is a star forest").
 """
 
 from __future__ import annotations
@@ -48,14 +61,22 @@ def _with_nbr_min(nbrs: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to u's min neighborhood
-    label (including u itself)."""
+    label (including u itself).
+
+    No trailing ``distinct()`` (r6): the output feeds ``_small_star``, whose
+    per-u ``min`` ignores multiplicity and whose own trailing ``distinct``
+    canonicalizes the round's result — so the round's OUTPUT is identical
+    with or without an intra-round dedup, and dropping it removes one
+    exchange per round. Duplicate rows here are bounded by the edge count
+    (each undirected edge emits at most one (v, m) row per direction rule);
+    only exact-duplicate (v, m) pairs across different u's would have been
+    collapsed, and those ride the same shuffle either way."""
     nbrs = edges.select("u", "v").union(edges.select(F.col("v"), F.col("u")))
     return (
         _with_nbr_min(nbrs)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -72,56 +93,58 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
-def connected_components(
-    edges: DataFrame, max_iter: int = 50, reliable_every: int = 0
+def _is_star_forest(e: DataFrame) -> bool:
+    """True iff (u, v) rows form a star forest: every u has exactly ONE
+    parent row and no parent v is itself a child u. Exactly the fixpoint of
+    the large-star/small-star alternation (see module docstring); both
+    violations are possible independently mid-loop, so both are tested —
+    one count() job over the round's already-checkpointed output."""
+    dup_parents = (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > 1)
+        .select(F.lit(1).alias("_one"))
+    )
+    internal = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+        .select(F.lit(1).alias("_one"))
+    )
+    return dup_parents.unionByName(internal).count() == 0
+
+
+def _hashed_edges(edges: DataFrame) -> DataFrame:
+    """(src, dst) string edges -> distinct (u, v) 64-bit surrogate pairs.
+    A collision over 64 bits is negligible and would only merge two
+    clusters (the same accepted policy as before, when the hash lived in a
+    node map); self-loops drop here."""
+    return (
+        edges.select(F.xxhash64("src").alias("u"), F.xxhash64("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _converged_star_roots(
+    e: DataFrame, max_iter: int, reliable_every: int
 ) -> DataFrame:
-    """edges(src: string, dst: string) -> (id: string, component: string).
+    """Run the star alternation on materialized (u, v) edges until the star
+    forest fixpoint; returns (u, v) = (node, root) rows, localCheckpointed in
+    the CALLER's session. ``e`` must be materialized (localCheckpointed) —
+    the loop must never re-evaluate an arbitrary upstream plan.
 
-    component = lexicographically-minimal member id of the node's component
-    (deterministic cluster labels). Nodes present only as self-edges are fine;
-    isolated nodes should be appended by the caller (see ``cluster_records``).
-
-    ``reliable_every``: every K rounds, cut lineage with a RELIABLE
-    ``checkpoint()`` (requires ``sparkContext.setCheckpointDir``) instead of
-    ``localCheckpoint()``. localCheckpoint stores blocks on executors only —
-    on a real cluster an executor loss mid-loop kills the job; reliable
-    checkpoints land on the checkpoint filesystem and survive. 0 (default)
-    keeps the pure local-mode fast path; at cluster scale pass e.g. 5.
+    The loop runs in a CHILD session (same SparkContext, private SQL conf):
+    shuffle sizing and the AQE toggle below must not leak into — or race
+    with — concurrent queries on the caller's session. The materialized
+    edges cross sessions via a GLOBAL temp view — a logical-plan handle
+    over the already-checkpointed blocks, no data movement and no Python
+    row round-trip.
     """
-    # Cut the caller's lineage once up front: the function scans `edges`
-    # several times (node map, edge relabeling) and an iterative algorithm
-    # must never re-evaluate an arbitrary upstream plan per scan.
-    edges = edges.select("src", "dst").localCheckpoint()
-    sess = edges.sparkSession
+    sess = e.sparkSession
     if reliable_every and sess.sparkContext.getCheckpointDir() is None:
         raise ValueError(
             "reliable_every requires sparkContext.setCheckpointDir(...)"
         )
-    ids = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    # dense long surrogate via xxhash64 (collision over 64 bits is negligible
-    # and would only merge two clusters; ids are restored by join at the end)
-    node_map = ids.select(F.col("id"), F.xxhash64("id").alias("nid")).persist()
-    e = (
-        edges.join(node_map.withColumnRenamed("id", "src"), "src")
-        .withColumnRenamed("nid", "u")
-        .join(node_map.withColumnRenamed("id", "dst"), "dst")
-        .withColumnRenamed("nid", "v")
-        .select("u", "v")
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
-    # The loop runs in a CHILD session (same SparkContext, private SQL conf):
-    # shuffle sizing and the AQE toggle below must not leak into — or race
-    # with — concurrent queries on the caller's session. The materialized
-    # edges cross sessions via a GLOBAL temp view — a logical-plan handle
-    # over the already-checkpointed blocks, no data movement and no Python
-    # row round-trip (df.rdd -> createDataFrame would deserialize every row
-    # through the Python worker).
     spark = sess.newSession()
     n_edges = e.count()
     view = f"er_cc_edges_{uuid.uuid4().hex}"
@@ -143,7 +166,6 @@ def connected_components(
         e = e.coalesce(loop_parts).localCheckpoint()
     out_view = f"er_cc_out_{uuid.uuid4().hex}"
     try:
-        prev_sig = None
         for rnd in range(max_iter):
             # one lineage cut per round: large-star feeds small-star
             # unmaterialized; reliable checkpoint every K rounds if configured
@@ -152,43 +174,69 @@ def connected_components(
                 e = e.checkpoint()
             else:
                 e = e.localCheckpoint()
-            sig = e.agg(
-                F.count(F.lit(1)).alias("n"),
-                # decimal sum: ANSI-safe (long sum of 64-bit hashes overflows)
-                F.coalesce(
-                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
-                ).alias("h"),
-            ).collect()[0]
-            cur_sig = (sig["n"], str(sig["h"]))
-            if cur_sig == prev_sig:
+            if _is_star_forest(e):
                 break
-            prev_sig = cur_sig
-        # hand the converged star forest back to the caller's session the same
-        # way (the final loop round left it checkpointed)
-        e.createOrReplaceGlobalTempView(out_view)
-        e = sess.table(f"global_temp.{out_view}")
-        # After convergence, small-star output is a star forest: u -> root.
-        # The root is the hash-order minimum; relabel with the
-        # lexicographically minimal member id so cluster labels are
-        # deterministic AND meaningful in id space (one extra groupBy on
-        # component-count rows). The result is eagerly materialized
-        # (localCheckpoint) BEFORE the finally block drops the temp views —
+        # hand the converged star forest back to the caller's session,
+        # materialized there BEFORE the finally block drops the temp views —
         # the returned plan must not reference a dropped view, and dropping
-        # them unpins the loop's converged edge blocks from executor storage
+        # them unpins the loop's edge blocks from executor storage
         # (long-lived sessions running repeated incremental closures would
         # otherwise accumulate one pinned edge set + view per call).
-        roots = e.select(F.col("u").alias("nid"), F.col("v").alias("root_nid"))
-        labeled = node_map.join(roots, "nid", "left").select(
-            "id", F.coalesce("root_nid", "nid").alias("root_nid")
-        )
-        names = labeled.groupBy("root_nid").agg(F.min("id").alias("component"))
-        out = labeled.join(names, "root_nid").select("id", "component")
-        out = out.localCheckpoint()
+        e.createOrReplaceGlobalTempView(out_view)
+        roots = sess.table(f"global_temp.{out_view}").localCheckpoint()
     finally:
         sess.catalog.dropGlobalTempView(view)
         sess.catalog.dropGlobalTempView(out_view)
-        node_map.unpersist()
-    return out
+    return roots
+
+
+def _label_components(ids: DataFrame, roots: DataFrame) -> DataFrame:
+    """Label an (id) universe with its component = lexicographically minimal
+    member id. ``roots`` is the converged star forest over xxhash64(id)
+    surrogates; ids absent from it are their own root (singletons)."""
+    labeled = (
+        ids.select("id", F.xxhash64("id").alias("_nid"))
+        .join(
+            roots.select(
+                F.col("u").alias("_nid"), F.col("v").alias("_root")
+            ),
+            "_nid",
+            "left",
+        )
+        .select("id", F.coalesce("_root", "_nid").alias("_root"))
+    )
+    names = labeled.groupBy("_root").agg(F.min("id").alias("component"))
+    return labeled.join(names, "_root").select("id", "component")
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, reliable_every: int = 0
+) -> DataFrame:
+    """edges(src: string, dst: string) -> (id: string, component: string).
+
+    component = lexicographically-minimal member id of the node's component
+    (deterministic cluster labels). Nodes present only as self-edges are fine;
+    isolated nodes should be appended by the caller (see ``cluster_records``).
+
+    ``reliable_every``: every K rounds, cut lineage with a RELIABLE
+    ``checkpoint()`` (requires ``sparkContext.setCheckpointDir``) instead of
+    ``localCheckpoint()``. localCheckpoint stores blocks on executors only —
+    on a real cluster an executor loss mid-loop kills the job; reliable
+    checkpoints land on the checkpoint filesystem and survive. 0 (default)
+    keeps the pure local-mode fast path; at cluster scale pass e.g. 5.
+    """
+    # Cut the caller's lineage once up front: the function scans `edges`
+    # twice (surrogate build, id restore) and an iterative algorithm must
+    # never re-evaluate an arbitrary upstream plan per scan.
+    edges = edges.select("src", "dst").localCheckpoint()
+    e = _hashed_edges(edges).localCheckpoint()
+    roots = _converged_star_roots(e, max_iter, reliable_every)
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return _label_components(ids, roots).localCheckpoint()
 
 
 def cluster_records(
@@ -201,18 +249,27 @@ def cluster_records(
     src/classifying.py:2184-2284): filter edges by confidence, run CC, append
     singletons (records with no surviving edge form their own cluster).
 
-    ``reliable_every`` is forwarded to ``connected_components`` — the
-    pipeline threads ``EngineConfig.cc_reliable_every`` through here so
-    cluster deployments get fault-tolerant lineage cuts (see that config
-    knob and scripts/submit_job.py --checkpoint-dir)."""
+    The final labeling joins the star forest DIRECTLY against the records'
+    id universe (r6): edge endpoints are always record pairs here, so the
+    separate edge-node relabel + singleton left join of the generic
+    ``connected_components`` collapses into one pass — same output (labels
+    are still the minimal member conv_id; singletons are their own root),
+    one fewer join and no distinct over the edge endpoints.
+
+    ``reliable_every`` is forwarded to the CC loop — the pipeline threads
+    ``EngineConfig.cc_reliable_every`` through here so cluster deployments
+    get fault-tolerant lineage cuts (see that config knob and
+    scripts/submit_job.py --checkpoint-dir)."""
     edges = scored.where(
         F.col("is_match") & (F.col("proba") >= F.lit(min_edge_confidence))
     ).select(F.col("left").alias("src"), F.col("right").alias("dst"))
-    comp = connected_components(edges, reliable_every=reliable_every)
-    all_ids = records.select(F.col("conv_id").alias("id"))
-    return all_ids.join(comp, "id", "left").select(
-        F.col("id").alias("conv_id"),
-        F.coalesce("component", "id").alias("cluster_id"),
+    # One scan of the scored plan (the surrogate projection) — no lineage
+    # cut needed before it; the loop runs over the checkpointed surrogates.
+    e = _hashed_edges(edges).localCheckpoint()
+    roots = _converged_star_roots(e, max_iter=50, reliable_every=reliable_every)
+    ids = records.select(F.col("conv_id").alias("id"))
+    return _label_components(ids, roots).select(
+        F.col("id").alias("conv_id"), F.col("component").alias("cluster_id")
     )
 
 
