@@ -548,7 +548,8 @@ def split_hot_blocks(
     cap = cfg.max_block_size
     h = max(cap // 2, 1)
     mega = cap * ORDERED_SPLIT_MULT
-    order = ["skey", "conv_id"] if "skey" in blocks.columns else ["conv_id"]
+    has_skey = "skey" in blocks.columns
+    order = ["skey", "conv_id"] if has_skey else ["conv_id"]
     if not materialized:
         # the sizes aggregate and the join probe each scan `blocks`; an
         # un-materialized key-battery plan must not be evaluated twice
@@ -567,13 +568,11 @@ def split_hot_blocks(
         .where(F.col("_n") > cap)
         .localCheckpoint()
     )
-    hot_side = (
-        F.broadcast(hot_sizes)
-        if hot_sizes.count() <= HOT_BROADCAST_MAX
-        else hot_sizes
-    )
+    hot_is_small = hot_sizes.count() <= HOT_BROADCAST_MAX
+    hot_side = F.broadcast(hot_sizes) if hot_is_small else hot_sizes
+    carry = ["skey"] if has_skey else []
     small = blocks.join(hot_side, "block_key", "left_anti").select(
-        "conv_id", "block_key"
+        "conv_id", "block_key", *carry
     )
     b = blocks.join(hot_side, "block_key")
 
@@ -581,7 +580,8 @@ def split_hot_blocks(
     med = (
         b.where((F.col("_n") > cap) & (F.col("_n") <= mega))
         .select(
-            "conv_id", "block_key", (F.row_number().over(wo) - 1).alias("_r")
+            "conv_id", "block_key", *carry,
+            (F.row_number().over(wo) - 1).alias("_r"),
         )
         .select(
             "conv_id",
@@ -597,6 +597,7 @@ def split_hot_blocks(
                     ),
                 )
             ).alias("block_key"),
+            *carry,
         )
     )
 
@@ -608,8 +609,52 @@ def split_hot_blocks(
             F.lit("h"),
             F.pmod(F.xxhash64("conv_id"), F.ceil(F.col("_n") / cap)).cast("string"),
         ).alias("block_key"),
+        *carry,
     )
-    return small.unionByName(med).unionByName(big)
+    out = small.unionByName(med).unionByName(big)
+    # KEY-SUBSUMPTION STAMP (r6): ``_st`` = xxhash64(skey) when the record is
+    # named AND its exact sorted-token block (key "t:<xxhash64(skey)>") was
+    # NOT hot-split; NULL otherwise. Two rows with equal non-null _st share
+    # an intact exact block, so every pair between them is ALREADY emitted by
+    # the t: pass — ``pairs_from_blocks`` uses the stamp to skip re-emitting
+    # such pairs from every other pass, shrinking the raw pair fan-out and
+    # the dedup exchange (the largest single blocking term at the 144k
+    # corpus) with a pair set identical BY CONSTRUCTION:
+    #   _st non-null  =>  t-key not in hot_sizes  =>  the t: block survived
+    #   the split intact  =>  the exact pass emits the pair. Even two
+    #   DIFFERENT skeys colliding on xxhash64 share the same t: block key
+    #   (the key IS that hash), so the guarantee survives hash collisions.
+    # The hot-t probe is a broadcast left join against the (tiny) t-subset of
+    # hot_sizes; on a degenerate corpus where hot_sizes itself outgrows the
+    # broadcast budget the stamp is all-NULL — no pair is dropped, exactly
+    # the previous behavior.
+    if has_skey and hot_is_small:
+        hot_t = hot_sizes.where(F.col("block_key").startswith("t:")).select(
+            F.col("block_key").alias("_tk"), F.lit(1).alias("_hot")
+        )
+        out = (
+            out.withColumn(
+                "_tk",
+                F.when(
+                    F.col("skey") != "",
+                    F.concat(F.lit("t:"), F.xxhash64("skey").cast("string")),
+                ),
+            )
+            .join(F.broadcast(hot_t), "_tk", "left")
+            .select(
+                "conv_id",
+                "block_key",
+                F.when(
+                    F.col("_hot").isNull() & (F.col("skey") != ""),
+                    F.xxhash64("skey"),
+                ).alias("_st"),
+            )
+        )
+    else:
+        out = out.select(
+            "conv_id", "block_key", F.lit(None).cast("long").alias("_st")
+        )
+    return out
 
 
 def _sum_pairs_interval(n: F.Column, width: int, off: int) -> F.Column:
@@ -715,21 +760,38 @@ def pairs_from_blocks(blocks: DataFrame, materialize: bool = True) -> DataFrame:
     PLAN is the whole multi-pass key computation — without the cut the join
     evaluates it once per side, and every downstream action re-analyzes the
     giant expression tree on the driver.
+
+    KEY SUBSUMPTION (r6): when the input carries the ``_st`` stamp from
+    ``split_hot_blocks``, pairs whose two sides share a non-null stamp are
+    emitted ONLY by the exact (``t:``) blocks — every other pass skips them
+    (the stamp guarantees the intact exact block already produces the pair;
+    see the stamp's construction for the proof). This shrinks the join
+    output feeding the dedup exchange — same-name records collide in every
+    text/anchor pass, so their cross products used to be re-emitted and
+    re-deduped once per pass — while the distinct pair set is unchanged.
     """
-    blocks = blocks.select("conv_id", "block_key")
+    has_st = "_st" in blocks.columns
+    blocks = blocks.select(
+        "conv_id", "block_key", *(["_st"] if has_st else [])
+    )
     if materialize:
         blocks = blocks.localCheckpoint()
     a = blocks.alias("a")
     b = blocks.alias("b")
-    return (
-        a.join(b, "block_key")
-        .where(F.col("a.conv_id") < F.col("b.conv_id"))
-        .select(
-            F.col("a.conv_id").alias("left"),
-            F.col("b.conv_id").alias("right"),
-        )
-        .dropDuplicates(["left", "right"])
+    joined = a.join(b, "block_key").where(
+        F.col("a.conv_id") < F.col("b.conv_id")
     )
+    if has_st:
+        joined = joined.where(
+            F.col("block_key").startswith("t:")
+            | F.col("a._st").isNull()
+            | F.col("b._st").isNull()
+            | (F.col("a._st") != F.col("b._st"))
+        )
+    return joined.select(
+        F.col("a.conv_id").alias("left"),
+        F.col("b.conv_id").alias("right"),
+    ).dropDuplicates(["left", "right"])
 
 
 def candidate_pairs(records: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:

@@ -71,6 +71,9 @@ def impute_attribute(
     by blocking + the similarity floor — no skew concern at scale.
     """
     vectors = _one_vector_per_text(vectors)
+    # keep only the contract columns: split_hot_blocks may carry its pair-
+    # subsumption stamp, which the impute candidate join must not duplicate
+    blocks = blocks.select("conv_id", "block_key")
     have = attr_table.where(F.col(attr_col).isNotNull())
     missing = records.join(have.select("conv_id"), "conv_id", "left_anti").select(
         "conv_id", "text_hash"
@@ -151,6 +154,9 @@ def audit_attribute(
     n_donors) — flagged rows only.
     """
     vectors = _one_vector_per_text(vectors)
+    # keep only the contract columns: split_hot_blocks may carry its pair-
+    # subsumption stamp, which the impute candidate join must not duplicate
+    blocks = blocks.select("conv_id", "block_key")
     have = attr_table.where(F.col(attr_col).isNotNull()).select(
         F.col("conv_id"), F.col(attr_col).alias("current")
     )
