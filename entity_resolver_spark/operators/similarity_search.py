@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from entity_resolver_spark.functions.similarity import cosine_expr, cosine_pudf
+from entity_resolver_spark.functions.similarity import cosine_expr
 
 
 def _dot(a, b):
@@ -38,15 +38,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, vec_id, cos_sim, rank<=k) — exact. The cross join is
-    intentional (baseline); use lsh_topk/ivf_topk at scale.
-
-    The per-pair cosine runs through the numpy batch kernel
-    (``cosine_pudf``): ``zip_with``/``aggregate`` higher-order functions are
-    CodegenFallback expressions — interpreted, one boxed lambda frame per
-    element — so the native form paid ~an order of magnitude more CPU per
-    pair (guide §4.2: hand whole Arrow batches to vectorized native code).
-    Same semantics (clamp, zero-norm policy) — the kernel mirrors
-    ``cosine_expr``, which remains the expression-form twin."""
+    intentional (baseline); use lsh_topk/ivf_topk at scale."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -57,7 +49,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "vec_id",
-            cosine_pudf(
+            cosine_expr(
                 F.col("q_vec").cast("array<double>"),
                 F.col("c_vec").cast("array<double>"),
             ).alias("cos_sim"),
