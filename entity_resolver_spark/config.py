@@ -137,6 +137,15 @@ RARE_SHINGLE_PER_RECORD = 0
 # k=4 survives the corpus's 12% token-dropout noise fine (a 4-shingle
 # survives both sides of a near-dup pair with p ~ 0.36 per occurrence,
 # and every conversation carries dozens of shingles).
+#
+# MEASURED BOUNDARY of the longer-shingle rule (r6, 288k entities /
+# 1.008M records): k=5 at df<=6 read blocking recall 0.99155 vs 0.99562
+# for k=4 — WORSE, because this corpus's token-dropout noise breaks
+# 5-shingles faster than rarity decays (the coverage precondition fails
+# before the specificity gain pays). The lever that DOES restore recall
+# at that scale is the df cap (6 -> 12: recall 0.99771 at +36% candidate
+# volume) — see docs/DEPLOY_100TB.md §4b for the trade matrix and the
+# F1-floor projection at default caps.
 RARE_SHINGLE_K = 4
 
 # Skew guard: blocks larger than this are split deterministically; the split

@@ -110,8 +110,14 @@ def main() -> None:
         sparse_cosine_expr,
     )
 
+    # Probe side carries the SAME columns production pair_inputs broadcasts
+    # (_SIDE_COLS + sketch + vector) so side_parquet_mb measures the shipped
+    # relation, not a narrowed projection (r5 advisor: the old probe omitted
+    # birth/death years and categories and under-counted the footprint).
+    from entity_resolver_spark.operators.features import _SIDE_COLS
+
     side = records.select(
-        "conv_id", "name_key", "text_hash", "name_hash",
+        *_SIDE_COLS,
         kmv_sketch_expr(
             F.col("tokens"), cfg.shingle_k, cfg.shingle_sketch_k
         ).alias("_sketch"),
