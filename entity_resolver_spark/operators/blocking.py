@@ -568,7 +568,8 @@ def split_hot_blocks(
         .where(F.col("_n") > cap)
         .localCheckpoint()
     )
-    hot_is_small = hot_sizes.count() <= HOT_BROADCAST_MAX
+    n_hot = hot_sizes.count()
+    hot_is_small = n_hot <= HOT_BROADCAST_MAX
     hot_side = F.broadcast(hot_sizes) if hot_is_small else hot_sizes
     carry = ["skey"] if has_skey else []
     small = blocks.join(hot_side, "block_key", "left_anti").select(
@@ -628,7 +629,15 @@ def split_hot_blocks(
     # hot_sizes; on a degenerate corpus where hot_sizes itself outgrows the
     # broadcast budget the stamp is all-NULL — no pair is dropped, exactly
     # the previous behavior.
-    if has_skey and hot_is_small:
+    if has_skey and n_hot == 0:
+        # no hot block at all => every named record's t: block is intact;
+        # stamp without the (empty) hot-t probe join
+        out = out.select(
+            "conv_id",
+            "block_key",
+            F.when(F.col("skey") != "", F.xxhash64("skey")).alias("_st"),
+        )
+    elif has_skey and hot_is_small:
         hot_t = hot_sizes.where(F.col("block_key").startswith("t:")).select(
             F.col("block_key").alias("_tk"), F.lit(1).alias("_hot")
         )
